@@ -12,6 +12,13 @@ os.environ.setdefault("XLA_FLAGS",
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+# The axon sitecustomize imports jax at interpreter startup with
+# JAX_PLATFORMS=axon, so the env var above is read too late — override the
+# live config as well (backends initialize lazily, so this still wins).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
