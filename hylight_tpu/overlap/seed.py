@@ -1,0 +1,271 @@
+"""Seeding + candidate pairing: minimizer hash join and diagonal-band voting.
+
+Replaces minimap2's index/seed/chain-candidate stages (reference invocation
+``filter_overlap_slr2.py:51,55``) with a TPU-native formulation built
+entirely from sorts and segment ops — no hash tables, no per-read loops:
+
+1. ``build_index``: flatten a target batch's minimizers, sort by hash,
+   mask high-occurrence (repeat) hashes — the analogue of minimap2's
+   ``-f``/max-occ repeat filter.
+2. ``collect_anchors``: for every query minimizer, binary-search the sorted
+   target hashes (``searchsorted``) and emit up to ``max_hits`` anchors
+   (qid, tid, relative strand, qpos, tpos') with static shape [Nq, F].
+   For '-' strand matches, target positions are rebased into the
+   reverse-complemented target (tpos' = tlen - k - tpos) so every anchor of
+   a pair lives in one coordinate frame.
+3. ``group_candidates``: lexicographic sort of anchors by
+   (qid, tid/strand, diagonal band, qpos); contiguous runs = votes for one
+   (pair, band); neighbor bands merged to tolerate indel drift; best band
+   per pair wins; pairs with >= min_anchors votes become overlap candidates
+   with their anchor windows gathered into a dense [P, A] matrix.
+
+The diagonal-band vote replaces minimap2's O(n*h) sequential chaining DP
+with a data-parallel equivalent; the exact colinear chain score is then
+computed on the tiny per-pair anchor matrix (see chain.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hylight_tpu.ops.minimizers import MinimizerSet
+
+INT_MAX = np.int32(0x7FFFFFFF)
+UINT_MAX = np.uint32(0xFFFFFFFF)
+
+
+class MinimizerIndex(NamedTuple):
+    """Hash-sorted flat minimizer table for a target read block."""
+
+    hash: jax.Array     # uint32 [Nt] sorted ascending (invalid = UINT_MAX)
+    tid: jax.Array      # int32  [Nt] global target read id
+    tpos: jax.Array     # int32  [Nt] k-mer start on forward target
+    tstrand: jax.Array  # int8   [Nt]
+    tlen: jax.Array     # int32  [Nt] length of the target read
+    occ_ok: jax.Array   # bool   [Nt] occurrence <= max_occ (repeat filter)
+
+
+class Anchors(NamedTuple):
+    """Flat anchor list (static shape [N])."""
+
+    qid: jax.Array      # int32 global query read id (INT_MAX if invalid)
+    tid: jax.Array      # int32 global target read id
+    strand: jax.Array   # int32 0 = same strand, 1 = query vs revcomp(target)
+    qpos: jax.Array     # int32 k-mer start on query
+    tpos: jax.Array     # int32 k-mer start on (possibly revcomp'd) target
+    qlen: jax.Array     # int32
+    tlen: jax.Array     # int32
+    valid: jax.Array    # bool
+
+
+class Candidates(NamedTuple):
+    """Per-pair overlap candidates with dense anchor windows."""
+
+    qid: jax.Array      # int32 [P]
+    tid: jax.Array      # int32 [P]
+    strand: jax.Array   # int32 [P]
+    qlen: jax.Array     # int32 [P]
+    tlen: jax.Array     # int32 [P]
+    n_anchors: jax.Array  # int32 [P] anchors in the merged band window
+    valid: jax.Array    # bool  [P]
+    aq: jax.Array       # int32 [P, A] anchor qpos (sorted by qpos)
+    at: jax.Array       # int32 [P, A] anchor tpos
+    amask: jax.Array    # bool  [P, A]
+
+
+@functools.partial(jax.jit, static_argnames=("max_occ",))
+def build_index(ms: MinimizerSet, lens: jax.Array, base_id, *,
+                max_occ: int) -> MinimizerIndex:
+    """Build a hash-sorted index from a target block's minimizers.
+
+    base_id: scalar (static or traced) global id of read 0 of the block.
+    """
+    B, M = ms.hash.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (B, M), 0)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1)
+    valid = (slot < ms.count[:, None]) & (ms.pos >= 0)
+
+    h = jnp.where(valid, ms.hash, UINT_MAX).reshape(-1)
+    tid = (rows + base_id).astype(jnp.int32).reshape(-1)
+    tpos = ms.pos.reshape(-1)
+    tstrand = ms.strand.reshape(-1)
+    tlen = jnp.broadcast_to(lens[:, None].astype(jnp.int32), (B, M)).reshape(-1)
+
+    h, tid, tpos, tstrand, tlen = jax.lax.sort(
+        (h, tid, tpos, tstrand, tlen), num_keys=1, is_stable=True)
+
+    lo = jnp.searchsorted(h, h, side="left")
+    hi = jnp.searchsorted(h, h, side="right")
+    occ_ok = (hi - lo) <= max_occ
+    return MinimizerIndex(hash=h, tid=tid, tpos=tpos, tstrand=tstrand,
+                          tlen=tlen, occ_ok=occ_ok)
+
+
+@functools.partial(jax.jit, static_argnames=("max_hits", "k", "dedup_self"))
+def collect_anchors(ms: MinimizerSet, qlens: jax.Array, qbase,
+                    index: MinimizerIndex, *, k: int, max_hits: int,
+                    dedup_self: bool) -> Anchors:
+    """Join query minimizers against the index -> flat anchors [Nq*F].
+
+    dedup_self: when query and target sets are the same (all-vs-all),
+    keep only qid < tid so each unordered pair is produced once
+    (the reference dedups pairs in ``filter_trans_ovlp_inline_v4.py:35-44``).
+    """
+    B, M = ms.hash.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (B, M), 0)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1)
+    qvalid = (slot < ms.count[:, None]) & (ms.pos >= 0)
+
+    qh = jnp.where(qvalid, ms.hash, UINT_MAX).reshape(-1)
+    qid = (rows + qbase).astype(jnp.int32).reshape(-1)
+    qpos = ms.pos.reshape(-1)
+    qstrand = ms.strand.reshape(-1)
+    qlen = jnp.broadcast_to(qlens[:, None].astype(jnp.int32), (B, M)).reshape(-1)
+    qvalid = qvalid.reshape(-1)
+
+    lo = jnp.searchsorted(index.hash, qh, side="left")
+    hi = jnp.searchsorted(index.hash, qh, side="right")
+
+    F = max_hits
+    Nq = qh.shape[0]
+    f = jnp.arange(F, dtype=jnp.int32)[None, :]            # [1, F]
+    t_idx = jnp.minimum(lo[:, None] + f, index.hash.shape[0] - 1)  # [Nq, F]
+    in_range = (lo[:, None] + f) < hi[:, None]
+
+    tid = index.tid[t_idx]
+    tpos = index.tpos[t_idx]
+    tstrand = index.tstrand[t_idx]
+    tlen = index.tlen[t_idx]
+    occ_ok = index.occ_ok[t_idx]
+
+    strand = (qstrand[:, None] != tstrand).astype(jnp.int32)
+    # rebase '-' strand anchors into revcomp(target) coordinates
+    tpos_adj = jnp.where(strand == 1, tlen - k - tpos, tpos)
+
+    valid = in_range & occ_ok & qvalid[:, None]
+    if dedup_self:
+        valid = valid & (qid[:, None] < tid)
+    else:
+        valid = valid & (qid[:, None] != tid)
+
+    def flat(x):
+        return jnp.broadcast_to(x, (Nq, F)).reshape(-1)
+
+    return Anchors(
+        qid=jnp.where(valid, qid[:, None], INT_MAX).reshape(-1),
+        tid=jnp.where(valid, tid, INT_MAX).reshape(-1),
+        strand=jnp.where(valid, strand, 0).reshape(-1),
+        qpos=flat(qpos[:, None]),
+        tpos=tpos_adj.reshape(-1),
+        qlen=flat(qlen[:, None]),
+        tlen=tlen.reshape(-1),
+        valid=valid.reshape(-1),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "bandwidth", "min_anchors", "max_pairs", "anchors_per_pair"))
+def group_candidates(a: Anchors, *, bandwidth: int, min_anchors: int,
+                     max_pairs: int, anchors_per_pair: int) -> Candidates:
+    """Diagonal-band voting: anchors -> per-pair overlap candidates."""
+    N = a.qid.shape[0]
+    P, A = max_pairs, anchors_per_pair
+
+    diag = a.qpos - a.tpos                       # in [-tlen, qlen]
+    band = (diag + jnp.int32(1 << 28)) // bandwidth
+    # (tid*2+strand only computed for valid anchors: INT_MAX*2 would overflow)
+    pair2 = jnp.where(a.valid, a.tid * 2 + a.strand, INT_MAX)
+    band = jnp.where(a.valid, band, INT_MAX)
+
+    qid, pair2, band, qpos, tpos, qlen, tlen, validi = jax.lax.sort(
+        (a.qid, pair2, band, a.qpos, a.tpos, a.qlen, a.tlen,
+         a.valid.astype(jnp.int32)),
+        num_keys=4, is_stable=True)
+    valid = validi.astype(jnp.bool_)
+
+    idx = jnp.arange(N, dtype=jnp.int32)
+    prev = jnp.maximum(idx - 1, 0)
+    same_pair_prev = (qid == qid[prev]) & (pair2 == pair2[prev]) & (idx > 0)
+    new_run = ~(same_pair_prev & (band == band[prev]))
+    run_id = jnp.cumsum(new_run.astype(jnp.int32)) - 1      # [N] dense run ids
+
+    ones = valid.astype(jnp.int32)
+    count = jax.ops.segment_sum(ones, run_id, num_segments=N)
+    run_start = jax.ops.segment_min(idx, run_id, num_segments=N)
+    # per-run metadata (values constant within a run)
+    run_qid = jax.ops.segment_min(jnp.where(valid, qid, INT_MAX), run_id,
+                                  num_segments=N)
+    run_pair2 = jax.ops.segment_min(jnp.where(valid, pair2, INT_MAX), run_id,
+                                    num_segments=N)
+    run_band = jax.ops.segment_min(jnp.where(valid, band, INT_MAX), run_id,
+                                   num_segments=N)
+
+    R = N  # run arrays are padded to N
+    r = jnp.arange(R, dtype=jnp.int32)
+    rprev = jnp.maximum(r - 1, 0)
+    rnext = jnp.minimum(r + 1, R - 1)
+    same_prev = (run_qid == run_qid[rprev]) & (run_pair2 == run_pair2[rprev]) \
+        & (run_band - run_band[rprev] == 1) & (r > 0)
+    same_next = (run_qid == run_qid[rnext]) & (run_pair2 == run_pair2[rnext]) \
+        & (run_band[rnext] - run_band == 1) & (r < R - 1)
+    merged = count + jnp.where(same_prev, count[rprev], 0) \
+        + jnp.where(same_next, count[rnext], 0)
+    merged_start = jnp.where(same_prev, run_start[rprev], run_start)
+    merged_end = jnp.where(same_next,
+                           run_start[rnext] + count[rnext],
+                           run_start + count)
+
+    run_is_real = run_qid != INT_MAX
+    # pick the best (max merged votes) run per pair; ties -> lowest run id
+    new_pair_run = run_is_real & ~((run_qid == run_qid[rprev])
+                                   & (run_pair2 == run_pair2[rprev]) & (r > 0))
+    pair_id = jnp.cumsum(new_pair_run.astype(jnp.int32)) - 1
+    best = jax.ops.segment_max(jnp.where(run_is_real, merged, -1), pair_id,
+                               num_segments=R)
+    is_best = run_is_real & (merged == best[pair_id])
+    first_best = jax.ops.segment_min(jnp.where(is_best, r, INT_MAX), pair_id,
+                                     num_segments=R)
+    is_winner = is_best & (r == first_best[pair_id]) & (merged >= min_anchors)
+
+    # compact winning runs into P candidate slots
+    cslot = jnp.cumsum(is_winner.astype(jnp.int32)) - 1
+    cslot = jnp.where(is_winner & (cslot < P), cslot, P)
+
+    def compact(x, fill):
+        return jnp.full((P + 1,), fill, x.dtype).at[cslot].set(
+            x, mode="drop")[:P]
+
+    c_start = compact(merged_start, 0)
+    c_len = jnp.minimum(compact(merged_end - merged_start, 0), A)
+    c_valid = compact(is_winner, False)
+    c_n = compact(merged, 0)
+
+    # anchor coordinates live in the big sorted arrays; gather windows
+    gi = jnp.minimum(c_start[:, None] + jnp.arange(A, dtype=jnp.int32)[None, :],
+                     N - 1)
+    amask = (jnp.arange(A, dtype=jnp.int32)[None, :] < c_len[:, None]) \
+        & c_valid[:, None]
+    aq = jnp.where(amask, qpos[gi], INT_MAX)
+    at = jnp.where(amask, tpos[gi], INT_MAX)
+    # rows in the window are sorted by (band, qpos); re-sort by qpos then tpos
+    aq, at, amaski = jax.lax.sort(
+        (aq, at, amask.astype(jnp.int32)), num_keys=2, is_stable=True,
+        dimension=1)
+    amask = amaski.astype(jnp.bool_)
+
+    first = jnp.minimum(c_start, N - 1)
+    return Candidates(
+        qid=compact(run_qid, INT_MAX),
+        tid=compact(run_pair2, INT_MAX) // 2,
+        strand=compact(run_pair2, 0) % 2,
+        qlen=qlen[first],
+        tlen=tlen[first],
+        n_anchors=jnp.where(c_valid, c_n, 0),
+        valid=c_valid,
+        aq=aq, at=at, amask=amask,
+    )
