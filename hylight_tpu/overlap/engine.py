@@ -1,0 +1,197 @@
+"""The overlap engine: ReadSet(s) -> OverlapTable.
+
+This is the TPU-native replacement for the reference's entire sharded overlap
+path — ``utils.split_reads2()`` (file split + xargs -P, ``utils.py:41-71``)
+driving ``minimap2 | filter_trans_ovlp_inline_v4 | filter_overlap_slr2``.
+The file shards become query blocks of a padded read matrix; each block runs
+one jitted seed->chain->extend->filter program; the per-chunk ``sort -k12``
+merge becomes a host concat (order-free: downstream sorts as needed).
+
+Single-chip version; the multi-chip variant shards the blocks over a device
+mesh (hylight_tpu.parallel.sharded_overlap).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from hylight_tpu.config import OverlapConfig
+from hylight_tpu.io.readset import ReadSet
+from hylight_tpu.ops.minimizers import minimizers
+from hylight_tpu.overlap import seed as seed_mod
+from hylight_tpu.overlap.chain import refine_chains
+from hylight_tpu.overlap.extend import extend_chains
+from hylight_tpu.overlap.filters import admission_filter, cap_per_read
+from hylight_tpu.overlap.table import OverlapTable
+from hylight_tpu.utils import get_logger
+
+log = get_logger()
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclass
+class EngineStats:
+    blocks: int = 0
+    candidate_pairs: int = 0
+    pair_overflows: int = 0
+    overlaps: int = 0
+    extra: Dict = field(default_factory=dict)
+
+
+def find_overlaps(reads: ReadSet, targets: Optional[ReadSet] = None, *,
+                  cfg: OverlapConfig, query_block: int = 64,
+                  pairs_per_block: Optional[int] = None,
+                  snp_cap: int = 128,
+                  cap_overlaps: bool = True,
+                  stats: Optional[EngineStats] = None) -> OverlapTable:
+    """All-vs-all (targets=None) or set-vs-set overlap detection.
+
+    Returned table ids: query ids index ``reads``; target ids index
+    ``targets`` when given, else ``reads``.
+    """
+    ava = targets is None
+    tset = reads if ava else targets
+    nq, nt = reads.n, tset.n
+    if nq == 0 or nt == 0:
+        return _empty_table(snp_cap)
+
+    # one shared padded matrix; queries first, targets after (ava: same rows)
+    if ava:
+        L = _round_up(max(1, int(reads.lengths.max())), 128)
+        seqs, lens = reads.to_padded(max_len=L)
+        t_off = 0
+    else:
+        L = _round_up(max(1, int(max(reads.lengths.max(initial=1),
+                                     tset.lengths.max(initial=1)))), 128)
+        qs_, qlens = reads.to_padded(max_len=L)
+        ts_, tlens = tset.to_padded(max_len=L)
+        seqs = np.concatenate([qs_, ts_], axis=0)
+        lens = np.concatenate([qlens, tlens])
+        t_off = nq
+    seqs_d = jnp.asarray(seqs)
+    lens_d = jnp.asarray(lens)
+
+    # minimizer cap from winnowing density 2/(w+1) (+ slack for end rule)
+    mcap = _round_up(int(2 * L / (cfg.w + 1)) + 64, 64)
+    ms_all = minimizers(seqs_d, lens_d, k=cfg.k, w=cfg.w, cap=mcap)
+
+    # target index over rows [t_off, t_off+nt)
+    tm = type(ms_all)(hash=ms_all.hash[t_off:t_off + nt],
+                      pos=ms_all.pos[t_off:t_off + nt],
+                      strand=ms_all.strand[t_off:t_off + nt],
+                      count=ms_all.count[t_off:t_off + nt])
+    index = seed_mod.build_index(tm, lens_d[t_off:t_off + nt], t_off,
+                                 max_occ=cfg.max_occ)
+
+    B = min(query_block, nq)
+    P = pairs_per_block or _round_up(B * 32, 256)
+    A = cfg.anchors_per_pair
+    stats = stats if stats is not None else EngineStats()
+
+    parts = []
+    n_blocks = math.ceil(nq / B)
+    for bi in range(n_blocks):
+        lo = bi * B
+        qm = type(ms_all)(hash=ms_all.hash[lo:lo + B],
+                          pos=ms_all.pos[lo:lo + B],
+                          strand=ms_all.strand[lo:lo + B],
+                          count=ms_all.count[lo:lo + B])
+        # final partial block: minimizer arrays are sliced short; pad rows
+        nrow = qm.hash.shape[0]
+        if nrow < B:
+            pad = B - nrow
+            qm = type(ms_all)(
+                hash=jnp.pad(qm.hash, ((0, pad), (0, 0)),
+                             constant_values=np.uint32(0xFFFFFFFF)),
+                pos=jnp.pad(qm.pos, ((0, pad), (0, 0)), constant_values=-1),
+                strand=jnp.pad(qm.strand, ((0, pad), (0, 0))),
+                count=jnp.pad(qm.count, (0, pad)),
+            )
+        qlens_blk = jnp.pad(lens_d[lo:min(lo + B, nq)], (0, B - nrow))
+
+        anchors = seed_mod.collect_anchors(
+            qm, qlens_blk, lo, index, k=cfg.k, max_hits=cfg.max_occ,
+            dedup_self=ava)
+        cand = seed_mod.group_candidates(
+            anchors, bandwidth=64, min_anchors=cfg.min_anchors,
+            max_pairs=P, anchors_per_pair=A)
+        ch = refine_chains(cand, k=cfg.k, min_score=cfg.min_chain_score,
+                           max_gap=cfg.max_gap)
+        ext = extend_chains(ch, seqs_d, k=cfg.k, gap_tile=cfg.gap_tile,
+                            max_mismatch=snp_cap)
+        sc = admission_filter(
+            ch, ext, min_len=cfg.min_ovlp_len, min_identity=cfg.min_identity,
+            max_overhang=cfg.max_overhang, overhang_ratio=cfg.overhang_ratio)
+
+        nw = int(cand.n_winners)
+        stats.blocks += 1
+        stats.candidate_pairs += nw
+        if nw > P:
+            stats.pair_overflows += 1
+            log.warning("overlap block %d: %d candidate pairs > cap %d "
+                        "(some dropped; raise pairs_per_block)", bi, nw, P)
+
+        parts.append(_materialize(ch, ext, sc, t_off))
+
+    table = OverlapTable.concat(parts)
+    if cap_overlaps and table.n > 0:
+        keep = cap_per_read(table.qid, table.tid, table.score,
+                            cfg.max_overlaps_per_read)
+        table = table.select(keep)
+    stats.overlaps = table.n
+    return table
+
+
+def _materialize(ch, ext, sc, t_off: int) -> OverlapTable:
+    """Compact one block's valid overlaps to a host OverlapTable."""
+    valid = np.asarray(sc.valid)
+    idx = np.nonzero(valid)[0]
+
+    strand = np.asarray(ch.strand)[idx].astype(np.int8)
+    tlen = np.asarray(ch.tlen)[idx]
+    ts_a = np.asarray(ch.ts)[idx]
+    te_a = np.asarray(ch.te)[idx]
+    ts_fwd = np.where(strand == 1, tlen - te_a, ts_a)
+    te_fwd = np.where(strand == 1, tlen - ts_a, te_a)
+
+    cols = (np.asarray(ext.columns)[idx] + np.asarray(ext.unverified)[idx]
+            + np.asarray(ext.indels)[idx])
+    return OverlapTable(
+        qid=np.asarray(ch.qid)[idx],
+        tid=np.asarray(ch.tid)[idx] - t_off,
+        strand=strand,
+        qs=np.asarray(ch.qs)[idx], qe=np.asarray(ch.qe)[idx],
+        ts=ts_fwd, te=te_fwd,
+        qlen=np.asarray(ch.qlen)[idx], tlen=tlen,
+        matches=np.asarray(ext.matches)[idx],
+        columns=cols,
+        identity=np.asarray(ext.identity)[idx],
+        score=np.asarray(sc.score)[idx],
+        score2=np.asarray(sc.score2)[idx],
+        score3=np.asarray(sc.score3)[idx],
+        mm_q=np.asarray(ext.mm_q)[idx], mm_t=np.asarray(ext.mm_t)[idx],
+        mm_qb=np.asarray(ext.mm_qb)[idx], mm_tb=np.asarray(ext.mm_tb)[idx],
+        mm_mask=np.asarray(ext.mm_mask)[idx],
+    )
+
+
+def _empty_table(snp_cap: int) -> OverlapTable:
+    z = lambda dt: np.zeros(0, dtype=dt)  # noqa: E731
+    z2 = lambda dt: np.zeros((0, snp_cap), dtype=dt)  # noqa: E731
+    return OverlapTable(
+        qid=z(np.int32), tid=z(np.int32), strand=z(np.int8),
+        qs=z(np.int32), qe=z(np.int32), ts=z(np.int32), te=z(np.int32),
+        qlen=z(np.int32), tlen=z(np.int32), matches=z(np.int32),
+        columns=z(np.int32), identity=z(np.float32), score=z(np.float32),
+        score2=z(np.float32), score3=z(np.float32),
+        mm_q=z2(np.int32), mm_t=z2(np.int32), mm_qb=z2(np.int8),
+        mm_tb=z2(np.int8), mm_mask=z2(bool),
+    )

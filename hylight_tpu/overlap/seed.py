@@ -73,6 +73,8 @@ class Candidates(NamedTuple):
     tlen: jax.Array     # int32 [P]
     n_anchors: jax.Array  # int32 [P] anchors in the merged band window
     valid: jax.Array    # bool  [P]
+    n_winners: jax.Array  # int32 scalar: winning pairs BEFORE the P cap
+                          # (> P means the block overflowed max_pairs)
     aq: jax.Array       # int32 [P, A] anchor qpos (sorted by qpos)
     at: jax.Array       # int32 [P, A] anchor tpos
     amask: jax.Array    # bool  [P, A]
@@ -241,15 +243,20 @@ def group_candidates(a: Anchors, *, bandwidth: int, min_anchors: int,
             x, mode="drop")[:P]
 
     c_start = compact(merged_start, 0)
-    c_len = jnp.minimum(compact(merged_end - merged_start, 0), A)
+    c_full = compact(merged_end - merged_start, 0)   # uncapped run length
+    c_len = jnp.minimum(c_full, A)
     c_valid = compact(is_winner, False)
     c_n = compact(merged, 0)
 
-    # anchor coordinates live in the big sorted arrays; gather windows
-    gi = jnp.minimum(c_start[:, None] + jnp.arange(A, dtype=jnp.int32)[None, :],
-                     N - 1)
-    amask = (jnp.arange(A, dtype=jnp.int32)[None, :] < c_len[:, None]) \
-        & c_valid[:, None]
+    # anchor coordinates live in the big sorted arrays; gather windows.
+    # Runs longer than A are stride-subsampled across their FULL span so the
+    # overlap extent (and identity sampling) stays unbiased — taking the
+    # prefix would truncate long overlaps and mis-trigger the internal-match
+    # (Algorithm 5) filter downstream.
+    ar = jnp.arange(A, dtype=jnp.int32)[None, :]
+    offs = (ar * c_full[:, None]) // jnp.maximum(c_len[:, None], 1)
+    gi = jnp.minimum(c_start[:, None] + offs, N - 1)
+    amask = (ar < c_len[:, None]) & c_valid[:, None]
     aq = jnp.where(amask, qpos[gi], INT_MAX)
     at = jnp.where(amask, tpos[gi], INT_MAX)
     # rows in the window are sorted by (band, qpos); re-sort by qpos then tpos
@@ -267,5 +274,6 @@ def group_candidates(a: Anchors, *, bandwidth: int, min_anchors: int,
         tlen=tlen[first],
         n_anchors=jnp.where(c_valid, c_n, 0),
         valid=c_valid,
+        n_winners=jnp.sum(is_winner.astype(jnp.int32)),
         aq=aq, at=at, amask=amask,
     )

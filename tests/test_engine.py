@@ -1,0 +1,106 @@
+import numpy as np
+
+from hylight_tpu.config import OverlapConfig
+from hylight_tpu.io.readset import ReadSet, revcomp_codes
+from hylight_tpu.overlap.engine import find_overlaps
+
+CFG = OverlapConfig(k=11, w=5, min_ovlp_len=150, min_identity=0.9,
+                    min_anchors=4, min_chain_score=60, max_occ=16,
+                    anchors_per_pair=128, gap_tile=32)
+
+
+def _pairs(t):
+    return {(int(q), int(d)): i for i, (q, d) in enumerate(zip(t.qid, t.tid))}
+
+
+def test_perfect_dovetail(rng):
+    g = rng.integers(0, 4, size=1000).astype(np.uint8)
+    rs = ReadSet.from_seqs([g[:600], g[400:1000]])
+    t = find_overlaps(rs, cfg=CFG)
+    p = _pairs(t)
+    assert (0, 1) in p
+    i = p[(0, 1)]
+    assert t.identity[i] > 0.99
+    assert t.strand[i] == 0
+    # overlap is g[400:600]: on read0 ~[400,600), on read1 ~[0,200)
+    assert abs(int(t.qs[i]) - 400) < 30 and abs(int(t.qe[i]) - 600) < 30
+    assert int(t.ts[i]) < 30 and abs(int(t.te[i]) - 200) < 30
+
+
+def test_revcomp_dovetail_coords(rng):
+    g = rng.integers(0, 4, size=1000).astype(np.uint8)
+    r0 = g[:600]
+    r1 = revcomp_codes(g[400:1000])  # overlap at END of r1 in fwd frame
+    rs = ReadSet.from_seqs([r0, r1])
+    t = find_overlaps(rs, cfg=CFG)
+    p = _pairs(t)
+    assert (0, 1) in p
+    i = p[(0, 1)]
+    assert t.strand[i] == 1
+    # forward-frame target coords: overlap g[400:600] == rc tail [400, 600)
+    assert abs(int(t.ts[i]) - 400) < 30 and abs(int(t.te[i]) - 600) < 30
+
+
+def test_snp_mismatch_events(rng):
+    g = rng.integers(0, 4, size=1200).astype(np.uint8)
+    g2 = g.copy()
+    snp_pos = [500, 700, 900]
+    for p_ in snp_pos:
+        g2[p_] = (g2[p_] + 1) % 4
+    rs = ReadSet.from_seqs([g, g2])
+    t = find_overlaps(rs, cfg=CFG)
+    p = _pairs(t)
+    assert (0, 1) in p
+    i = p[(0, 1)]
+    got_q = sorted(int(x) for x in t.mm_q[i][t.mm_mask[i]])
+    assert got_q == snp_pos
+    got_t = sorted(int(x) for x in t.mm_t[i][t.mm_mask[i]])
+    assert got_t == snp_pos
+    # bases recorded correctly
+    for j in range(3):
+        q, tt = int(t.mm_q[i][j]), int(t.mm_t[i][j])
+        assert int(t.mm_qb[i][j]) == g[q]
+        assert int(t.mm_tb[i][j]) == g2[tt]
+    assert t.identity[i] > 0.98
+
+
+def test_internal_match_rejected(rng):
+    # two reads sharing a 300bp repeat in their middles but otherwise
+    # unrelated -> internal match, must be filtered (Algorithm 5)
+    rep = rng.integers(0, 4, size=300).astype(np.uint8)
+    r0 = np.concatenate([rng.integers(0, 4, 400).astype(np.uint8), rep,
+                         rng.integers(0, 4, 400).astype(np.uint8)])
+    r1 = np.concatenate([rng.integers(0, 4, 400).astype(np.uint8), rep,
+                         rng.integers(0, 4, 400).astype(np.uint8)])
+    t = find_overlaps(ReadSet.from_seqs([r0, r1]), cfg=CFG)
+    assert (0, 1) not in _pairs(t)
+
+
+def test_low_identity_rejected(rng):
+    g = rng.integers(0, 4, size=800).astype(np.uint8)
+    noisy = g[300:].copy()
+    sub = rng.random(len(noisy)) < 0.15   # 15% substitutions
+    noisy[sub] = (noisy[sub] + 1) % 4
+    rs = ReadSet.from_seqs([g[:600], noisy])
+    t = find_overlaps(rs, cfg=CFG)
+    for i in range(t.n):
+        assert t.identity[i] < 0.9 or (int(t.qid[i]), int(t.tid[i])) != (0, 1)
+
+
+def test_min_length_rejected(rng):
+    g = rng.integers(0, 4, size=700).astype(np.uint8)
+    rs = ReadSet.from_seqs([g[:400], g[300:700]])  # 100bp overlap < 150
+    t = find_overlaps(rs, cfg=CFG)
+    assert (0, 1) not in _pairs(t)
+
+
+def test_many_reads_coverage(rng):
+    """20 tiling reads: each should overlap its neighbours."""
+    g = rng.integers(0, 4, size=3000).astype(np.uint8)
+    reads = [g[i * 130:i * 130 + 500] for i in range(20)]
+    t = find_overlaps(ReadSet.from_seqs(reads), cfg=CFG, query_block=8)
+    p = _pairs(t)
+    for i in range(19):
+        assert (i, i + 1) in p, f"missing neighbour overlap {i},{i+1}"
+    # non-overlapping far pairs must be absent
+    assert (0, 19) not in p
