@@ -1,0 +1,78 @@
+"""SNP-aware cross-strain overlap rejection.
+
+Reimplements the strain-separation core of the reference's overlap filter
+(``filter_overlap_slr2.py``: ``prpare_mutation2()`` ``:289-367``,
+``mutation_re()`` ``:370-405``, kill rule ``:90-100``):
+
+- every mismatch column of every overlap votes "variant support" for BOTH
+  sides' (read, position) columns (the reference re-parses --eqx CIGAR text
+  for this; here the extend stage already emitted the columns — no CIGARs);
+- a column is a REAL SNP iff >= mc overlaps support the variant AND
+  >= mc overlaps span the column agreeing with the read (contradiction =
+  strict-interior coverage minus support);
+- long-read mode: an overlap is killed when its real-SNP events per matched
+  base exceed ``max_snp_frac`` (0.0025); short-read mode kills on ANY
+  real-SNP event (reference ``:97-100``).
+
+Runs on the host at a stage boundary: event counts are tiny next to the
+alignment work, and the computation is two sorts + difference arrays.
+Note: mismatch events beyond the static per-overlap cap S are truncated by
+the extend stage, which can only *under*-kill (conservative).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from hylight_tpu.overlap.table import OverlapTable
+
+
+def snp_filter(table: OverlapTable, *, mc: int, max_frac: float,
+               long_reads: bool = True) -> np.ndarray:
+    """Returns a keep-mask over the table's overlaps."""
+    O = table.n
+    if O == 0:
+        return np.zeros(0, dtype=bool)
+    assert table.mm_q is not None, "table lacks mismatch columns"
+
+    mask = table.mm_mask
+    oidx = np.broadcast_to(np.arange(O, dtype=np.int64)[:, None], mask.shape)
+
+    # events: (overlap, read, pos) for both sides of each mismatch column
+    ev_o = np.concatenate([oidx[mask], oidx[mask]])
+    ev_read = np.concatenate([
+        np.broadcast_to(table.qid[:, None], mask.shape)[mask],
+        np.broadcast_to(table.tid[:, None], mask.shape)[mask],
+    ]).astype(np.int64)
+    ev_pos = np.concatenate([table.mm_q[mask], table.mm_t[mask]]) \
+        .astype(np.int64)
+
+    if ev_o.size == 0:
+        return np.ones(O, dtype=bool)
+
+    M = int(max(table.qlen.max(), table.tlen.max())) + 2
+    ev_key = ev_read * M + ev_pos
+
+    cols, inv, support = np.unique(ev_key, return_inverse=True,
+                                   return_counts=True)
+
+    # strict-interior coverage of each column by overlap extents (both sides)
+    iv_read = np.concatenate([table.qid, table.tid]).astype(np.int64)
+    iv_s = np.concatenate([table.qs, table.ts]).astype(np.int64)
+    iv_e = np.concatenate([table.qe, table.te]).astype(np.int64)
+    lo = np.searchsorted(cols, iv_read * M + iv_s + 1, side="left")
+    hi = np.searchsorted(cols, iv_read * M + iv_e - 1, side="right")
+    diff = np.zeros(len(cols) + 1, dtype=np.int64)
+    np.add.at(diff, lo, 1)
+    np.add.at(diff, hi, -1)
+    coverage = np.cumsum(diff[:-1])
+
+    real = (support >= mc) & ((coverage - support) >= mc)
+
+    weight = np.zeros(O, dtype=np.int64)
+    np.add.at(weight, ev_o, real[inv].astype(np.int64))
+
+    if long_reads:
+        frac = weight / np.maximum(table.matches, 1)
+        return frac <= max_frac
+    return weight == 0

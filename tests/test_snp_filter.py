@@ -1,0 +1,63 @@
+import numpy as np
+
+from hylight_tpu.config import OverlapConfig
+from hylight_tpu.io.readset import ReadSet
+from hylight_tpu.overlap.engine import find_overlaps
+from hylight_tpu.overlap.snp import snp_filter
+
+CFG = OverlapConfig(k=11, w=5, min_ovlp_len=150, min_identity=0.9,
+                    min_anchors=4, min_chain_score=60, max_occ=64,
+                    anchors_per_pair=256, gap_tile=32)
+
+
+def _two_strain_reads(rng, glen=2000, nsnp=12, read_len=600, step=100):
+    gA = rng.integers(0, 4, size=glen).astype(np.uint8)
+    gB = gA.copy()
+    snp_pos = np.linspace(100, glen - 100, nsnp).astype(int)
+    for p in snp_pos:
+        gB[p] = (gB[p] + 1) % 4
+    reads, strain = [], []
+    for s in range(0, glen - read_len + 1, step):
+        reads.append(gA[s:s + read_len]); strain.append(0)
+        reads.append(gB[s:s + read_len]); strain.append(1)
+    return reads, np.array(strain)
+
+
+def test_cross_strain_overlaps_killed(rng):
+    reads, strain = _two_strain_reads(rng)
+    t = find_overlaps(ReadSet.from_seqs(reads), cfg=CFG, query_block=16)
+    assert t.n > 0
+    keep = snp_filter(t, mc=3, max_frac=0.0025, long_reads=True)
+    cross = strain[t.qid] != strain[t.tid]
+    # all same-strain overlaps survive
+    assert keep[~cross].all()
+    # cross-strain overlaps overwhelmingly killed (every 600bp window
+    # contains >= 2 SNPs at this density)
+    assert cross.any()
+    assert (~keep[cross]).mean() > 0.9, f"only {(~keep[cross]).mean():.2f} killed"
+
+
+def test_short_read_mode_any_snp_kills(rng):
+    reads, strain = _two_strain_reads(rng)
+    t = find_overlaps(ReadSet.from_seqs(reads), cfg=CFG, query_block=16)
+    keep = snp_filter(t, mc=3, max_frac=0.0025, long_reads=False)
+    cross = strain[t.qid] != strain[t.tid]
+    assert keep[~cross].all()
+    assert (~keep[cross]).mean() >= (  # short mode at least as strict
+        lambda k2: (~k2[cross]).mean())(
+        snp_filter(t, mc=3, max_frac=0.0025, long_reads=True))
+
+
+def test_random_errors_not_killed(rng):
+    """Isolated random sequencing errors lack mc-fold support -> no kills."""
+    g = rng.integers(0, 4, size=2000).astype(np.uint8)
+    reads = []
+    for s in range(0, 1401, 100):
+        r = g[s:s + 600].copy()
+        p = int(rng.integers(50, 550))
+        r[p] = (r[p] + 1) % 4       # one private error per read
+        reads.append(r)
+    t = find_overlaps(ReadSet.from_seqs(reads), cfg=CFG, query_block=16)
+    assert t.n > 0
+    keep = snp_filter(t, mc=3, max_frac=0.0025, long_reads=True)
+    assert keep.all()
