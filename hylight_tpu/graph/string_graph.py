@@ -1,0 +1,444 @@
+"""Long-read string-graph layout (the miniasm-equivalent engine).
+
+Rebuilds the capability of the reference's bundled miniasm
+(``tools/miniasm/``, invoked ``HyLight.py:137,140`` as
+``miniasm -d <tip> -n 1 -e 1 -c 1``) as vectorized array passes over arc
+lists. Graphs here are post-filter (SNP-cleaned, capped-degree) and small
+relative to the alignment workload, so these passes run on host numpy at
+stage boundaries; the FLOP-heavy work stays on device.
+
+Vertex encoding follows miniasm: vertex = read_id * 2 + dir, dir 0 = read
+forward, 1 = reverse-complement; an arc v -> w means "w extends v to the
+right", arc length l = offset from start(v) to start(w) in v's frame.
+
+Components and their reference counterparts:
+- overlaps_to_arcs      <- ma_hit2arc (asm.c:9-39 caller; classification per
+                           minimap-paper Algorithm 5) + containment drop
+                           (ma_hit_contained, hit.c:225)
+- transitive_reduction  <- asg_arc_del_trans (asg.c:148-190, Myers-style)
+- cut_tips              <- asg_cut_tip (asg.c:238) with read-count bound
+- pop_bubbles           <- asg_pop_bubble (asg.c:360-433, Kahn-like BFS)
+- unitigs/unitig_seqs   <- ma_ug_gen/ma_ug_seq (asm.c:117,232)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from hylight_tpu.io.readset import ReadSet, revcomp_codes
+from hylight_tpu.overlap.table import OverlapTable
+from hylight_tpu.utils import get_logger
+
+log = get_logger()
+
+
+@dataclass
+class ArcSet:
+    """Directed arc list; always kept symmetric (arc and rc-arc both present)."""
+
+    v: np.ndarray    # int64 [E] source vertex (read*2+dir)
+    w: np.ndarray    # int64 [E] destination vertex
+    l: np.ndarray    # int32 [E] arc length (bases v contributes before w)
+    ol: np.ndarray   # int32 [E] overlap length on the source read
+    n_reads: int
+
+    @property
+    def n_vtx(self) -> int:
+        return 2 * self.n_reads
+
+    def select(self, mask: np.ndarray) -> "ArcSet":
+        return ArcSet(self.v[mask], self.w[mask], self.l[mask],
+                      self.ol[mask], self.n_reads)
+
+    def sort(self) -> "ArcSet":
+        """Sort by (v, l) — the adjacency order miniasm's passes assume."""
+        order = np.lexsort((self.l, self.v))
+        return self.select(order)
+
+    def out_index(self) -> Tuple[np.ndarray, np.ndarray]:
+        """CSR-style (start, count) per vertex; requires sorted arcs."""
+        start = np.searchsorted(self.v, np.arange(self.n_vtx))
+        end = np.searchsorted(self.v, np.arange(self.n_vtx), side="right")
+        return start, end - start
+
+    def out_degree(self) -> np.ndarray:
+        return np.bincount(self.v, minlength=self.n_vtx).astype(np.int64)
+
+
+def overlaps_to_arcs(table: OverlapTable, n_reads: int, *,
+                     min_ovlp: int = 0, max_hang: int = 1000,
+                     int_frac: float = 0.8,
+                     drop_contained: bool = True
+                     ) -> Tuple[ArcSet, np.ndarray]:
+    """Classify overlaps into dovetail arcs; returns (arcs, contained mask).
+
+    Mirrors ``ma_hit2arc`` exactly, then (like ``ma_hit_contained``) removes
+    every arc touching a contained read. Each table row yields the arc AND
+    its reverse-complement twin (the reference gets the twin from the
+    symmetric duplicate hit of ava mode; our table stores each pair once).
+    """
+    ql, tl = table.qlen.astype(np.int64), table.tlen.astype(np.int64)
+    qs, qe = table.qs.astype(np.int64), table.qe.astype(np.int64)
+    ts_a, te_a = table.ts_adj().astype(np.int64), table.te_adj().astype(np.int64)
+    rev = table.strand.astype(np.int64)
+    qid, tid = table.qid.astype(np.int64), table.tid.astype(np.int64)
+
+    tl5, tl3 = ts_a, tl - te_a
+    ql5, ql3 = qs, ql - qe
+    ext5 = np.minimum(ql5, tl5)
+    ext3 = np.minimum(ql3, tl3)
+    span = qe - qs
+    internal = (ext5 > max_hang) | (ext3 > max_hang) | \
+        (span < (span + ext5 + ext3) * int_frac)
+    q_cont = (~internal) & (ql5 <= tl5) & (ql3 <= tl3)
+    t_cont = (~internal) & ~q_cont & (ql5 >= tl5) & (ql3 >= tl3)
+    short = (span + ext5 + ext3 < min_ovlp) | \
+        ((te_a - ts_a) + ext5 + ext3 < min_ovlp)
+    dovetail = ~(internal | q_cont | t_cont | short)
+
+    contained = np.zeros(n_reads, dtype=bool)
+    if drop_contained:
+        np.logical_or.at(contained, qid[q_cont], True)
+        np.logical_or.at(contained, tid[t_cont], True)
+
+    d = dovetail & ~(contained[qid] | contained[tid])
+    case_a = ql5 > tl5          # query sticks out left: arc q+ -> t(rev)
+
+    with np.errstate(all="ignore"):
+        # primary arc
+        v1 = np.where(case_a, qid * 2, tid * 2 + rev)
+        w1 = np.where(case_a, tid * 2 + rev, qid * 2)
+        l1 = np.where(case_a, ql5 - tl5, tl5 - ql5)
+        src_len1 = np.where(case_a, ql, tl)
+        # reverse-complement twin
+        v2 = np.where(case_a, tid * 2 + (1 - rev), qid * 2 + 1)
+        w2 = np.where(case_a, qid * 2 + 1, tid * 2 + (1 - rev))
+        l2 = np.where(case_a, tl3 - ql3, ql3 - tl3)
+        src_len2 = np.where(case_a, tl, ql)
+
+    v = np.concatenate([v1[d], v2[d]])
+    w = np.concatenate([w1[d], w2[d]])
+    ln = np.concatenate([l1[d], l2[d]]).astype(np.int32)
+    ol = (np.concatenate([src_len1[d], src_len2[d]]) - ln).astype(np.int32)
+    arcs = ArcSet(v=v, w=w, l=ln, ol=ol, n_reads=n_reads).sort()
+    return arcs, contained
+
+
+def transitive_reduction(arcs: ArcSet, fuzz: int = 10) -> ArcSet:
+    """Myers-style transitive reduction (asg_arc_del_trans semantics).
+
+    Arc v->x is reduced iff some w in N(v) has an arc w->x with
+    l(v->w) + l(w->x) <= max_l(v) + fuzz. Vectorized as a join of arc pairs
+    on the middle vertex followed by a key lookup — no per-vertex loops.
+    """
+    if len(arcs.v) == 0:
+        return arcs
+    a = arcs.sort()
+    start, count = a.out_index()
+    NV = a.n_vtx
+
+    # longest outgoing arc per vertex (+fuzz): arcs sorted by (v,l)
+    last = start + np.maximum(count - 1, 0)
+    Lmax = np.zeros(NV, dtype=np.int64)
+    has = count > 0
+    Lmax[has] = a.l[last[has]] + fuzz
+
+    # join: for every arc e1=(v,w), pair with every arc e2=(w,x)
+    deg_w = count[a.w]
+    off = np.repeat(np.arange(len(a.v)), deg_w)       # e1 index per pair
+    cs = np.cumsum(deg_w)
+    within = np.arange(int(cs[-1]) if len(cs) else 0) \
+        - np.repeat(cs - deg_w, deg_w)
+    e2 = start[a.w][off] + within
+    vv, xx = a.v[off], a.w[e2]
+    tot = a.l[off].astype(np.int64) + a.l[e2]
+    cand = (tot <= Lmax[vv]) & (xx != vv)
+
+    # does arc (vv, xx) exist? key lookup against sorted arc keys
+    keys = a.v * (2 * NV) + a.w          # sorted (a sorted by v, w not — but
+    order = np.argsort(keys, kind="stable")
+    skeys = keys[order]
+    pos = np.searchsorted(skeys, vv[cand] * (2 * NV) + xx[cand])
+    pos = np.clip(pos, 0, len(skeys) - 1)
+    hit = skeys[pos] == vv[cand] * (2 * NV) + xx[cand]
+
+    reduced = np.zeros(len(a.v), dtype=bool)
+    # all duplicate (v,x) arcs share the key; mark every arc with that key
+    hit_keys = (vv[cand] * (2 * NV) + xx[cand])[hit]
+    lo = np.searchsorted(skeys, hit_keys, side="left")
+    hi = np.searchsorted(skeys, hit_keys, side="right")
+    # expand [lo, hi) ranges (ranges are tiny: duplicate arcs are rare)
+    span = hi - lo
+    if span.sum() > 0:
+        cs2 = np.cumsum(span)
+        within2 = np.arange(int(cs2[-1])) - np.repeat(cs2 - span, span)
+        tgt = np.repeat(lo, span) + within2
+        reduced[order[tgt]] = True
+
+    n_red = int(reduced.sum())
+    if n_red:
+        log.info("[G::trans_reduce] removed %d arcs", n_red)
+    return a.select(~reduced)
+
+
+def cut_tips(arcs: ArcSet, max_ext: int = 1) -> Tuple[ArcSet, np.ndarray]:
+    """Remove dangling chains of <= max_ext reads (asg_cut_tip semantics).
+
+    Returns (arcs, dropped_read_mask). A tip starts at a vertex with no
+    predecessor (outdeg(v^1) == 0) and extends through unbranched vertices.
+    """
+    dropped = np.zeros(arcs.n_reads, dtype=bool)
+    for _ in range(max_ext + 1):  # iterate: cutting can expose new tips
+        if len(arcs.v) == 0:
+            break
+        a = arcs.sort()
+        outdeg = a.out_degree()
+        indeg = np.bincount(a.w, minlength=a.n_vtx).astype(np.int64)
+        NV = a.n_vtx
+        vids = np.arange(NV)
+        # tip start: has successors, no predecessors, and is not the
+        # mirror of a chain end (avoid cutting isolated pairs twice)
+        is_start = (outdeg > 0) & (indeg == 0)
+        kill_reads = []
+        start, count = a.out_index()
+        for v in vids[is_start]:
+            path = [v]
+            cur = v
+            ok = False
+            for _step in range(max_ext):
+                if count[cur] != 1:
+                    ok = count[cur] > 1  # ends at branch -> cuttable
+                    break
+                nxt = int(a.w[start[cur]])
+                if indeg[nxt] > 1:
+                    ok = True            # merges into a through-path
+                    break
+                path.append(nxt)
+                cur = nxt
+            else:
+                ok = False               # chain longer than max_ext: keep
+            if ok and len(path) <= max_ext:
+                kill_reads.extend(p >> 1 for p in path)
+        if not kill_reads:
+            arcs = a
+            break
+        dropped[np.array(kill_reads, dtype=np.int64)] = True
+        keep = ~(dropped[a.v >> 1] | dropped[a.w >> 1])
+        arcs = a.select(keep)
+    return arcs, dropped
+
+
+def pop_bubbles(arcs: ArcSet, max_dist: int = 50000) -> ArcSet:
+    """Pop simple bubbles (asg_pop_bubble-style bounded Kahn BFS).
+
+    From every vertex with outdeg >= 2, find a closing sink reachable by all
+    out-paths within max_dist; keep the single best path (max overlap
+    support), delete arcs of the other paths. Host BFS per branching vertex
+    (branch vertices are rare after reduction).
+    """
+    if len(arcs.v) == 0:
+        return arcs
+    a = arcs.sort()
+    start, count = a.out_index()
+    indeg = np.bincount(a.w, minlength=a.n_vtx).astype(np.int64)
+    del_arc = np.zeros(len(a.v), dtype=bool)
+
+    branch_vs = np.nonzero(count >= 2)[0]
+    for src in branch_vs:
+        src = int(src)
+        # bounded Kahn traversal from src (asg_bub_pop1 structure): a vertex
+        # is pushed once all its incoming arcs were traversed; the bubble
+        # closes when the stack holds exactly one vertex with none pending.
+        dist = {src: 0}
+        remaining = {}
+        order = [src]
+        stack = [src]
+        sink = None
+        n_pending = 0
+        failed = False
+        while stack:
+            v = stack.pop()
+            s, c = int(start[v]), int(count[v])
+            live = [e for e in range(s, s + c) if not del_arc[e]]
+            if v != src and not live:
+                failed = True            # dead end inside the bubble
+                break
+            for e in live:
+                w = int(a.w[e])
+                d = dist[v] + int(a.l[e])
+                if d > max_dist or (w >> 1) == (src >> 1):
+                    failed = True
+                    break
+                if w not in dist:
+                    dist[w] = d
+                    remaining[w] = int(indeg[w])
+                    n_pending += 1
+                else:
+                    dist[w] = max(dist[w], d)
+                remaining[w] -= 1
+                if remaining[w] == 0:
+                    stack.append(w)
+                    order.append(w)
+                    n_pending -= 1
+            if failed:
+                break
+            if len(stack) == 1 and n_pending == 0:
+                sink = stack[0]
+                break
+        if failed or sink is None or sink == src or (sink >> 1) == (src >> 1):
+            continue
+        # keep the best path src -> sink (greedy max-ol backtrack), delete
+        # every other arc on vertices strictly inside the bubble
+        inside = set(order[1:]) | {sink}
+        inside.discard(int(src))
+        # best path via DP over the recorded topological order
+        best_prev = {int(src): (-1, -1)}
+        best_score = {int(src): 0}
+        for v in order:
+            s, c = int(start[v]), int(count[v])
+            for e in range(s, s + c):
+                if del_arc[e]:
+                    continue
+                w = int(a.w[e])
+                if w not in dist:
+                    continue
+                sc = best_score.get(v, -1) + int(a.ol[e])
+                if sc > best_score.get(w, -1):
+                    best_score[w] = sc
+                    best_prev[w] = (v, e)
+        keep_edges = set()
+        v = sink
+        while v != int(src):
+            pv, pe = best_prev.get(v, (-1, -1))
+            if pe < 0:
+                break
+            keep_edges.add(pe)
+            v = pv
+        # delete non-best arcs inside the bubble region
+        for v in [int(src)] + list(inside - {sink}):
+            s, c = int(start[v]), int(count[v])
+            for e in range(s, s + c):
+                if e not in keep_edges and int(a.w[e]) in (inside | {sink}):
+                    del_arc[e] = True
+    n_pop = int(del_arc.sum())
+    if n_pop:
+        log.info("[G::pop_bubbles] removed %d arcs", n_pop)
+        a = a.select(~del_arc)
+        # restore symmetry: drop arcs whose mirror vanished
+        keys = set(zip(a.v.tolist(), a.w.tolist()))
+        sym = np.array([(w ^ 1, v ^ 1) in keys
+                        for v, w in zip(a.v.tolist(), a.w.tolist())])
+        a = a.select(sym)
+    return a
+
+
+@dataclass
+class Unitig:
+    verts: List[int]     # vertex path (read*2+dir)
+    arc_lens: List[int]  # len == len(verts)-1 (or == len(verts) if circular)
+    circular: bool
+
+
+def unitigs(arcs: ArcSet, drop_reads: Optional[np.ndarray] = None
+            ) -> List[Unitig]:
+    """Maximal unbranched paths (ma_ug_gen semantics)."""
+    a = arcs.sort()
+    start, count = a.out_index()
+    indeg = np.bincount(a.w, minlength=a.n_vtx).astype(np.int64)
+    NV = a.n_vtx
+    used = np.zeros(NV, dtype=bool)
+    if drop_reads is not None:
+        used[drop_reads.repeat(2)] = True
+    pred_count = indeg
+
+    def single_succ(v):
+        if count[v] != 1:
+            return None
+        return int(a.w[start[v]]), int(a.l[start[v]])
+
+    out: List[Unitig] = []
+    # linear unitigs: start where v is not mergeable-backwards
+    for v in range(NV):
+        if used[v] or (count[v] == 0 and pred_count[v] == 0):
+            continue
+        if not (pred_count[v] != 1
+                or (pred_count[v] == 1 and _pred_branches(a, start, count, v))):
+            continue
+        path, lens = [v], []
+        used[v] = used[v ^ 1] = True
+        cur = v
+        while True:
+            nxt = single_succ(cur)
+            if nxt is None:
+                break
+            w, l = nxt
+            if pred_count[w] != 1 or used[w]:
+                break
+            path.append(w)
+            lens.append(l)
+            used[w] = used[w ^ 1] = True
+            cur = w
+        out.append(Unitig(verts=path, arc_lens=lens, circular=False))
+    # circular unitigs: leftover cycles
+    for v in range(NV):
+        if used[v] or count[v] == 0:
+            continue
+        path, lens = [v], []
+        used[v] = used[v ^ 1] = True
+        cur = v
+        while True:
+            nxt = single_succ(cur)
+            if nxt is None:
+                break
+            w, l = nxt
+            if w == v:
+                lens.append(l)
+                out.append(Unitig(verts=path, arc_lens=lens, circular=True))
+                break
+            if used[w]:
+                break
+            path.append(w)
+            lens.append(l)
+            used[w] = used[w ^ 1] = True
+            cur = w
+    # dedup mirror unitigs (each linear unitig appears in both orientations
+    # only if both endpoints were starts; the used[] marking prevents that)
+    return out
+
+
+def _pred_branches(a: ArcSet, start, count, v) -> bool:
+    """True if v's single predecessor has out-branching (unitig must break)."""
+    # predecessor of v = (successor of v^1)^1
+    if count[v ^ 1] != 1:
+        return True
+    p = int(a.w[start[v ^ 1]]) ^ 1
+    return count[p] != 1
+
+
+def unitig_seqs(utgs: List[Unitig], reads: ReadSet,
+                min_reads: int = 1) -> ReadSet:
+    """Splice unitig sequences from oriented reads (ma_ug_seq semantics)."""
+    seqs, names = [], []
+    for i, u in enumerate(utgs):
+        if len(u.verts) < min_reads:
+            continue
+        parts = []
+        for j, v in enumerate(u.verts):
+            rid, d = v >> 1, v & 1
+            s = reads.get(rid)
+            if d:
+                s = revcomp_codes(s)
+            if j < len(u.arc_lens):
+                parts.append(s[:u.arc_lens[j]])
+            else:
+                parts.append(s)
+        if u.circular and len(u.arc_lens) == len(u.verts):
+            pass  # all parts are arc-length prefixes already
+        seqs.append(np.concatenate(parts) if parts else
+                    np.zeros(0, dtype=np.uint8))
+        names.append(f"utg{i:06d}" + ("c" if u.circular else "l")
+                     + f" reads={len(u.verts)}")
+    return ReadSet.from_seqs(seqs, names=names)
