@@ -1,0 +1,50 @@
+import numpy as np
+
+from hylight_tpu.config import OverlapConfig
+from hylight_tpu.io.readset import ReadSet
+from hylight_tpu.ops.consensus import polish_contigs
+
+CFG = OverlapConfig(k=11, w=5, min_ovlp_len=150, min_identity=0.9,
+                    min_anchors=4, min_chain_score=60, max_occ=64,
+                    anchors_per_pair=256, gap_tile=32)
+
+
+def test_polish_fixes_substitutions(rng):
+    g = rng.integers(0, 4, size=3000).astype(np.uint8)
+    draft = g.copy()
+    err_pos = np.arange(100, 2900, 173)
+    for p in err_pos:
+        draft[p] = (draft[p] + 1) % 4
+    reads = [g[s:s + 500] for s in range(0, 2501, 100)]
+    polished = polish_contigs(ReadSet.from_seqs([draft], names=["c0"]),
+                              ReadSet.from_seqs(reads), cfg=CFG, rounds=1)
+    out = polished.get(0)
+    assert len(out) == len(g)
+    assert (out == g).all(), f"{(out != g).sum()} errors remain of {len(err_pos)}"
+
+
+def test_polish_keeps_uncovered_regions(rng):
+    g = rng.integers(0, 4, size=2000).astype(np.uint8)
+    draft = g.copy()
+    draft[1900] = (draft[1900] + 1) % 4   # error in uncovered tail
+    reads = [g[s:s + 400] for s in range(0, 1201, 100)]  # cover [0,1600) only
+    polished = polish_contigs(ReadSet.from_seqs([draft], names=["c0"]),
+                              ReadSet.from_seqs(reads), cfg=CFG, rounds=1)
+    out = polished.get(0)
+    assert out[1900] == draft[1900]       # uncovered: draft preserved
+    assert (out[:1500] == g[:1500]).all()
+
+
+def test_polish_multiple_contigs(rng):
+    g1 = rng.integers(0, 4, size=1500).astype(np.uint8)
+    g2 = rng.integers(0, 4, size=1200).astype(np.uint8)
+    d1, d2 = g1.copy(), g2.copy()
+    d1[700] = (d1[700] + 1) % 4
+    d2[400] = (d2[400] + 2) % 4
+    reads = [g1[s:s + 400] for s in range(0, 1101, 100)] + \
+            [g2[s:s + 400] for s in range(0, 801, 100)]
+    polished = polish_contigs(ReadSet.from_seqs([d1, d2], names=["a", "b"]),
+                              ReadSet.from_seqs(reads), cfg=CFG, rounds=1)
+    assert (polished.get(0) == g1).all()
+    assert (polished.get(1) == g2).all()
+    assert polished.names == ["a", "b"]
