@@ -1,0 +1,123 @@
+"""Long-read assembly pipeline: the `long_con_polished.fa` path.
+
+Mirrors the reference driver's long-read stages (``HyLight.py:114-203``):
+
+  1. all-vs-all overlaps on (corrected) long reads, SNP-filtered
+     (``split_reads2(s1,s1)`` + ``filter_overlap_slr2``)
+  2. string-graph layout -> unitigs (``miniasm -d tip -n 1 -e 1 -c 1``)
+  3. long-read polish (``racon --no-trimming -u``)
+  4. pick_up loop (x2): reads with no overlap against current contigs are
+     re-assembled and appended (``HyLight.py:158-184``, ``pick_up()`` ``:347``)
+  5. optional short-read polish round (``HyLight.py:200-203``, len_over=70,
+     mc=3)
+
+All stages are the in-memory TPU engines; no intermediate files.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from hylight_tpu.config import Config
+from hylight_tpu.io.readset import ReadSet
+from hylight_tpu.graph.string_graph import (
+    cut_tips, overlaps_to_arcs, pop_bubbles, transitive_reduction,
+    unitig_seqs, unitigs)
+from hylight_tpu.ops.consensus import polish_contigs
+from hylight_tpu.overlap.engine import find_overlaps
+from hylight_tpu.overlap.snp import snp_filter
+from hylight_tpu.utils import get_logger, stage
+
+log = get_logger()
+
+
+def _layout(reads: ReadSet, cfg: Config, *, query_block: int) -> ReadSet:
+    """overlaps -> SNP filter -> string graph -> unitig contigs."""
+    oc = cfg.overlap
+    table = find_overlaps(reads, cfg=oc, query_block=query_block)
+    if table.n:
+        keep = snp_filter(table, mc=cfg.snp.mc, max_frac=cfg.snp.max_snp_frac,
+                          long_reads=True)
+        table = table.select(keep)
+    if table.n == 0:
+        return ReadSet.from_seqs([])
+    lay = cfg.layout
+    arcs, contained = overlaps_to_arcs(
+        table, reads.n, min_ovlp=lay.min_match,
+        max_hang=cfg.overlap.max_overhang, int_frac=lay.int_frac)
+    arcs = transitive_reduction(arcs)
+    arcs, dropped = cut_tips(arcs, max_ext=lay.min_unitig_reads)
+    arcs = pop_bubbles(arcs, max_dist=lay.bubble_dist)
+    utg = unitigs(arcs, drop_reads=contained | dropped)
+    return unitig_seqs(utg, reads)
+
+
+def _used_reads(reads: ReadSet, contigs: ReadSet, cfg: Config,
+                *, query_block: int) -> np.ndarray:
+    """Mask of reads that map to any contig (complement = pick_up set).
+
+    Reference ``pick_up()`` (``HyLight.py:347``) collects reads absent from
+    PAF columns 0/5 of the read->contig mapping.
+    """
+    if contigs.n == 0 or reads.n == 0:
+        return np.zeros(reads.n, dtype=bool)
+    oc = replace(cfg.overlap, min_ovlp_len=max(500, cfg.overlap.min_ovlp_len
+                                               // 4),
+                 min_identity=max(0.0, cfg.overlap.min_identity - 0.05))
+    t = find_overlaps(reads, contigs, cfg=oc, query_block=query_block,
+                      cap_overlaps=False)
+    used = np.zeros(reads.n, dtype=bool)
+    used[t.qid] = True
+    return used
+
+
+def assemble_long_reads(lr: ReadSet, cfg: Config,
+                        sr: Optional[ReadSet] = None, *,
+                        pickup_rounds: int = 2,
+                        query_block: int = 64) -> ReadSet:
+    """Full long-read path -> polished contigs (long_con_polished equivalent)."""
+    contig_parts: List[ReadSet] = []
+    remaining = lr
+    rmap = np.arange(lr.n)
+
+    for rnd in range(1 + pickup_rounds):
+        if remaining.n < 2:
+            break
+        with stage(f"lr_layout_r{rnd}"):
+            contigs = _layout(remaining, cfg, query_block=query_block)
+        log.info("[A::lr] round %d: %d reads -> %d contigs", rnd,
+                 remaining.n, contigs.n)
+        if contigs.n == 0:
+            break
+        with stage(f"lr_polish_r{rnd}"):
+            contigs = polish_contigs(contigs, remaining, cfg=cfg.overlap,
+                                     rounds=cfg.consensus.rounds_long,
+                                     query_block=query_block)
+        contig_parts.append(contigs)
+        if rnd == pickup_rounds:
+            break
+        with stage(f"lr_pickup_r{rnd}"):
+            used = _used_reads(remaining, contigs, cfg,
+                               query_block=query_block)
+        if used.all() or (~used).sum() < 2:
+            break
+        keep_idx = np.nonzero(~used)[0]
+        remaining = remaining.subset(keep_idx)
+        rmap = rmap[keep_idx]
+
+    if not contig_parts:
+        return ReadSet.from_seqs([])
+    contigs = contig_parts[0]
+    for part in contig_parts[1:]:
+        contigs = contigs.concat(part)
+    # renumber (reference HyLight.py:189-196)
+    contigs.names = [f"contig_{i}" for i in range(contigs.n)]
+
+    if sr is not None and sr.n > 0 and contigs.n > 0:
+        with stage("lr_sr_polish"):
+            contigs = polish_contigs(contigs, sr, cfg=cfg.overlap_sr,
+                                     rounds=1, query_block=256)
+    return contigs

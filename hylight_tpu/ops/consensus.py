@@ -166,11 +166,12 @@ def _polish_round(contigs: ReadSet, reads: ReadSet, *, cfg: OverlapConfig,
     P = pairs_per_block or _round_up(B * 8, 256)
     for bi in range(math.ceil(nq / B)):
         lo = bi * B
-        nrow = min(B, nq - lo)
-        qm = type(ms_all)(hash=ms_all.hash[lo:lo + B],
-                          pos=ms_all.pos[lo:lo + B],
-                          strand=ms_all.strand[lo:lo + B],
-                          count=ms_all.count[lo:lo + B])
+        hi_q = min(lo + B, nq)  # never slice into the target rows
+        nrow = hi_q - lo
+        qm = type(ms_all)(hash=ms_all.hash[lo:hi_q],
+                          pos=ms_all.pos[lo:hi_q],
+                          strand=ms_all.strand[lo:hi_q],
+                          count=ms_all.count[lo:hi_q])
         if nrow < B:
             pad = B - nrow
             qm = type(ms_all)(

@@ -100,10 +100,11 @@ def find_overlaps(reads: ReadSet, targets: Optional[ReadSet] = None, *,
     n_blocks = math.ceil(nq / B)
     for bi in range(n_blocks):
         lo = bi * B
-        qm = type(ms_all)(hash=ms_all.hash[lo:lo + B],
-                          pos=ms_all.pos[lo:lo + B],
-                          strand=ms_all.strand[lo:lo + B],
-                          count=ms_all.count[lo:lo + B])
+        hi_q = min(lo + B, nq)  # never slice into the target rows
+        qm = type(ms_all)(hash=ms_all.hash[lo:hi_q],
+                          pos=ms_all.pos[lo:hi_q],
+                          strand=ms_all.strand[lo:hi_q],
+                          count=ms_all.count[lo:hi_q])
         # final partial block: minimizer arrays are sliced short; pad rows
         nrow = qm.hash.shape[0]
         if nrow < B:
