@@ -22,3 +22,6 @@ Layer map (TPU-first, not a port of the reference's process pipeline):
 __version__ = "0.1.0"
 
 from hylight_tpu.config import Config  # noqa: F401
+from hylight_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()

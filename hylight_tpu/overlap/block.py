@@ -1,0 +1,46 @@
+"""Single-jit all-vs-all overlap block: the engine's inner program as one
+compiled function (used by the compile-check entry point, the sharded
+multi-chip step, and the benchmarks).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from hylight_tpu.config import OverlapConfig
+from hylight_tpu.ops.minimizers import minimizers
+from hylight_tpu.overlap import seed as seed_mod
+from hylight_tpu.overlap.chain import refine_chains
+from hylight_tpu.overlap.extend import extend_chains
+from hylight_tpu.overlap.filters import admission_filter
+
+
+def make_block_fn(cfg: OverlapConfig, *, mcap: int, max_pairs: int,
+                  snp_cap: int = 64):
+    """Build a jittable fn(seqs, lens) -> (Chains, Extensions, ScoredOverlaps)
+    computing all-vs-all overlaps inside one padded read block."""
+
+    @jax.jit
+    def block_fn(seqs: jax.Array, lens: jax.Array):
+        ms = minimizers(seqs, lens, k=cfg.k, w=cfg.w, cap=mcap)
+        index = seed_mod.build_index(ms, lens, 0, max_occ=cfg.max_occ)
+        anchors = seed_mod.collect_anchors(ms, lens, 0, index, k=cfg.k,
+                                           max_hits=cfg.max_occ,
+                                           dedup_self=True)
+        cand = seed_mod.group_candidates(
+            anchors, bandwidth=64, min_anchors=cfg.min_anchors,
+            max_pairs=max_pairs, anchors_per_pair=cfg.anchors_per_pair)
+        ch = refine_chains(cand, k=cfg.k, min_score=cfg.min_chain_score,
+                           max_gap=cfg.max_gap)
+        ext = extend_chains(ch, seqs, k=cfg.k, gap_tile=cfg.gap_tile,
+                            max_mismatch=snp_cap)
+        sc = admission_filter(ch, ext, min_len=cfg.min_ovlp_len,
+                              min_identity=cfg.min_identity,
+                              max_overhang=cfg.max_overhang,
+                              overhang_ratio=cfg.overhang_ratio)
+        return ch, ext, sc
+
+    return block_fn
