@@ -134,9 +134,10 @@ def _polish_round(contigs: ReadSet, reads: ReadSet, *, cfg: OverlapConfig,
                   pairs_per_block: Optional[int]) -> ReadSet:
     if contigs.n == 0 or reads.n == 0:
         return contigs
+    from hylight_tpu.overlap.engine import bucket_len
     nq, nt = reads.n, contigs.n
-    L = _round_up(int(max(reads.lengths.max(initial=1),
-                          contigs.lengths.max(initial=1))), 128)
+    L = bucket_len(int(max(reads.lengths.max(initial=1),
+                           contigs.lengths.max(initial=1))))
     qs_, qlens = reads.to_padded(max_len=L)
     ts_, tlens = contigs.to_padded(max_len=L)
     seqs = jnp.asarray(np.concatenate([qs_, ts_], axis=0))

@@ -37,6 +37,16 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def bucket_len(x: int, minimum: int = 256) -> int:
+    """Round a padded length up to a power of two so iterated pipelines
+    (whose reads grow every round) reuse a handful of compiled shapes
+    instead of recompiling per round."""
+    L = minimum
+    while L < x:
+        L *= 2
+    return L
+
+
 @dataclass
 class EngineStats:
     blocks: int = 0
@@ -65,12 +75,12 @@ def find_overlaps(reads: ReadSet, targets: Optional[ReadSet] = None, *,
 
     # one shared padded matrix; queries first, targets after (ava: same rows)
     if ava:
-        L = _round_up(max(1, int(reads.lengths.max())), 128)
+        L = bucket_len(max(1, int(reads.lengths.max())))
         seqs, lens = reads.to_padded(max_len=L)
         t_off = 0
     else:
-        L = _round_up(max(1, int(max(reads.lengths.max(initial=1),
-                                     tset.lengths.max(initial=1)))), 128)
+        L = bucket_len(max(1, int(max(reads.lengths.max(initial=1),
+                                      tset.lengths.max(initial=1)))))
         qs_, qlens = reads.to_padded(max_len=L)
         ts_, tlens = tset.to_padded(max_len=L)
         seqs = np.concatenate([qs_, ts_], axis=0)
