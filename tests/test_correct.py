@@ -1,0 +1,70 @@
+import numpy as np
+
+from hylight_tpu.io.readset import ReadSet
+from hylight_tpu.correct.kmer_correct import build_spectrum, correct_reads
+from hylight_tpu.assembly.stageb import extend_contigs
+from hylight_tpu.config import Config, OverlapConfig, StageBConfig
+
+
+def test_spectrum_counts(rng):
+    g = rng.integers(0, 4, size=500).astype(np.uint8)
+    reads = [g[s:s + 100] for s in range(0, 401, 20)]
+    rs = ReadSet.from_seqs(reads)
+    solid, counts = build_spectrum(rs, k=15, min_count=3)
+    assert len(solid) > 0
+    assert (np.diff(solid.astype(np.int64)) > 0).all()  # sorted unique
+
+
+def test_sr_correction_fixes_errors(rng):
+    g = rng.integers(0, 4, size=1000).astype(np.uint8)
+    clean = [g[s:s + 150] for s in range(0, 851, 10)]   # 15x coverage
+    noisy = []
+    err_total = 0
+    for i, r in enumerate(clean):
+        r = r.copy()
+        if i % 3 == 0:                      # 1 error in 1/3 of reads
+            p = int(rng.integers(20, 130))
+            r[p] = (r[p] + 1) % 4
+            err_total += 1
+        noisy.append(r)
+    rs = ReadSet.from_seqs(noisy)
+    fixed = correct_reads(rs, k=15, min_count=3, rounds=1)
+    remaining = sum((fixed.get(i) != clean[i]).sum()
+                    for i in range(len(clean)))
+    assert remaining <= err_total * 0.1, \
+        f"{remaining} of {err_total} errors left"
+
+
+def test_lr_correction_from_sr_spectrum(rng):
+    g = rng.integers(0, 4, size=2000).astype(np.uint8)
+    sr = ReadSet.from_seqs([g[s:s + 150] for s in range(0, 1851, 10)])
+    lr_clean = g[100:1700]
+    lr = lr_clean.copy()
+    err_pos = np.arange(50, 1550, 90)
+    for p in err_pos:
+        lr[p] = (lr[p] + 1) % 4
+    lrs = ReadSet.from_seqs([lr])
+    fixed = correct_reads(lrs, spectrum_reads=sr, k=15, min_count=3, rounds=3)
+    n_left = int((fixed.get(0) != lr_clean).sum())
+    assert n_left <= 2, f"{n_left} of {len(err_pos)} errors left"
+
+
+def test_stage_b_extends_contigs(rng):
+    g = rng.integers(0, 4, size=3000).astype(np.uint8)
+    # overlapping error-free contigs
+    contigs = ReadSet.from_seqs(
+        [g[0:1200], g[800:2100], g[1700:3000], g[2900:2980]],  # last: short
+        names=["a", "b", "c", "tiny"])
+    cfg = Config().replace(
+        overlap_sr=OverlapConfig(k=13, w=5, min_ovlp_len=60, min_identity=0.95,
+                                 min_anchors=2, min_chain_score=30, max_occ=64,
+                                 max_gap=500, anchors_per_pair=128,
+                                 gap_tile=16),
+        stage_b=StageBConfig(min_overlap_len=300, min_contig_len=150))
+    out = extend_contigs(contigs, cfg)
+    assert out.n == 1, f"expected full merge, got {out.n}"
+    assert int(out.lengths[0]) == 3000
+    from hylight_tpu.io.readset import decode_seq, revcomp_codes
+    s = decode_seq(out.get(0))
+    assert s == decode_seq(g) or decode_seq(revcomp_codes(out.get(0))) == \
+        decode_seq(g)
