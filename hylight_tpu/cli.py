@@ -1,0 +1,85 @@
+"""Command-line interface — drop-in for the reference's
+``python HyLight.py -l long.fq -s short.fq -o out ...``
+(flag set from ``script/HyLight.py:23-52``).
+
+Flags kept for compatibility but without effect on this engine are accepted
+and logged: --nsplit (sharding is automatic over the device mesh), -t
+(device parallelism replaces the thread farm).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from hylight_tpu.config import (Config, ClusterConfig, CorrectConfig,
+                                LayoutConfig, OverlapConfig, SRCoreConfig)
+from hylight_tpu.io.fastx import read_fastx
+from hylight_tpu.assembly.pipeline import hybrid_assemble, write_outputs
+from hylight_tpu.utils import STAGE_TIMES, get_logger
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="hylight-tpu",
+        description="TPU-native strain-aware hybrid metagenome assembler")
+    p.add_argument("-l", "--long_reads", required=True,
+                   help="long reads (FASTQ/FASTA, ONT/PacBio)")
+    p.add_argument("-s", "--short_reads", required=False, default=None,
+                   help="interleaved paired-end short reads (FASTQ)")
+    p.add_argument("-o", "--outdir", required=True)
+    p.add_argument("-t", "--threads", type=int, default=20,
+                   help="accepted for compatibility (device-parallel)")
+    p.add_argument("--nsplit", type=int, default=60,
+                   help="accepted for compatibility (auto-sharded)")
+    p.add_argument("--min_identity", type=float, default=0.95)
+    p.add_argument("--min_ovlp_len", type=int, default=3000)
+    p.add_argument("--size", type=int, default=15000,
+                   help="max reads per short-read cluster")
+    p.add_argument("--max_tip_len", type=int, default=10000)
+    p.add_argument("--insert_size", type=float, default=450)
+    p.add_argument("--average_read_len", type=float, default=250)
+    p.add_argument("--corrected", action="store_true",
+                   help="input reads are already error-corrected")
+    p.add_argument("--low_q", action="store_true",
+                   help="low-quality long reads (more layout rounds)")
+    return p
+
+
+def config_from_args(a) -> Config:
+    cfg = Config()
+    cfg = cfg.replace(
+        overlap=OverlapConfig(min_ovlp_len=a.min_ovlp_len,
+                              min_identity=a.min_identity),
+        layout=LayoutConfig(max_tip_len=a.max_tip_len,
+                            rounds=3 if a.low_q else 1,
+                            min_coverage=3 if a.low_q else 1),
+        cluster=ClusterConfig(max_cluster_size=a.size),
+        sr_core=SRCoreConfig(insert_size=a.insert_size,
+                             average_read_len=a.average_read_len),
+        correct=CorrectConfig(skip=a.corrected),
+    )
+    return cfg
+
+
+def main(argv=None) -> int:
+    log = get_logger()
+    a = build_parser().parse_args(argv)
+    cfg = config_from_args(a)
+
+    lr = read_fastx(a.long_reads)
+    sr = read_fastx(a.short_reads) if a.short_reads else None
+    log.info("[CLI] %d long reads, %s short reads", lr.n,
+             sr.n if sr else "no")
+
+    out = hybrid_assemble(lr, sr, cfg, corrected=a.corrected)
+    write_outputs(out, a.outdir)
+    log.info("[CLI] wrote %s: final=%d long=%d short=%d", a.outdir,
+             out.final_contigs.n, out.long_contigs.n, out.short_stageb.n)
+    for k, v in STAGE_TIMES.items():
+        log.info("[CLI] stage %-24s %8.2f s", k, v)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
