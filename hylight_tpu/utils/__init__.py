@@ -1,1 +1,1 @@
-from hylight_tpu.utils.log import get_logger, stage  # noqa: F401
+from hylight_tpu.utils.log import STAGE_TIMES, get_logger, stage  # noqa: F401
