@@ -89,7 +89,7 @@ def _correct_block(seqs, lens, solid_sorted, *, k):
 
     def solidity(sq):
         canon, valid = _kmer_codes(sq, lens, k)
-        idx = jnp.searchsorted(solid_sorted, canon)
+        idx = jnp.searchsorted(solid_sorted, canon, method="sort")
         idx = jnp.clip(idx, 0, solid_sorted.shape[0] - 1)
         hit = (solid_sorted[idx] == canon) & (solid_sorted.shape[0] > 0)
         # invalid (N / out of read) positions count as solid (no signal)
@@ -135,7 +135,8 @@ def _correct_block(seqs, lens, solid_sorted, *, k):
             r2 = (acc_r & ~(jnp.uint32(3) << shift_r)) | \
                 ((jnp.uint32(3 - b)) << shift_r)
             canon2 = jnp.minimum(f2, r2)
-            idx = jnp.clip(jnp.searchsorted(solid_sorted, canon2), 0,
+            idx = jnp.clip(jnp.searchsorted(solid_sorted, canon2,
+                                            method="sort"), 0,
                            solid_sorted.shape[0] - 1)
             hit = (solid_sorted[idx] == canon2)
             hit = jnp.where(valid, hit, True)

@@ -132,13 +132,18 @@ def extend_chains(ch: Chains, seqs: jax.Array, *, k: int, gap_tile: int,
     # base pair in forward target frame: complement if '-' strand
     tb_fwd = jnp.where((ch.strand[:, None] == 1) & (tb_f < 4), 3 - tb_f, tb_f)
 
-    slot = jnp.cumsum(mmf.astype(jnp.int32), axis=1) - 1
-    slot = jnp.where(mmf & (slot < S), slot, S)
-    rows = jax.lax.broadcasted_iota(jnp.int32, mmf.shape, 0)
+    # compact the first S mismatch events per row via top_k (row-wise
+    # scatters serialize badly on TPU)
+    M = mmf.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (P, M), 1)
+    key = jnp.where(mmf, -col, jnp.int32(-(1 << 30)))
+    topv, topi = jax.lax.top_k(key, S)          # earliest columns first
+    sel_ok = topv > jnp.int32(-(1 << 30))
+    prow = jax.lax.broadcasted_iota(jnp.int32, (P, S), 0)
 
     def compact(x, fill, dtype):
-        return jnp.full((P, S + 1), fill, dtype).at[rows, slot].set(
-            x.astype(dtype), mode="drop")[:, :S]
+        return jnp.where(sel_ok, x[prow, topi].astype(dtype),
+                         jnp.asarray(fill, dtype))
 
     mm_q = compact(qpos_f, -1, jnp.int32)
     mm_t = compact(tpos_fwd, -1, jnp.int32)

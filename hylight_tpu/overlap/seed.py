@@ -98,12 +98,26 @@ def build_index(ms: MinimizerSet, lens: jax.Array, base_id, *,
     tstrand = ms.strand.reshape(-1)
     tlen = jnp.broadcast_to(lens[:, None].astype(jnp.int32), (B, M)).reshape(-1)
 
-    h, tid, tpos, tstrand, tlen = jax.lax.sort(
-        (h, tid, tpos, tstrand, tlen), num_keys=1, is_stable=True)
+    # single-key sort with an index payload, then gather the satellite
+    # columns — variadic TPU sorts move every operand through the sorting
+    # network, so keeping it to (key, iota) is much cheaper
+    iota = jnp.arange(h.shape[0], dtype=jnp.int32)
+    h, perm = jax.lax.sort((h, iota), num_keys=1, is_stable=True)
+    tid, tpos, tstrand, tlen = (tid[perm], tpos[perm], tstrand[perm],
+                                tlen[perm])
 
-    lo = jnp.searchsorted(h, h, side="left")
-    hi = jnp.searchsorted(h, h, side="right")
-    occ_ok = (hi - lo) <= max_occ
+    # occurrence count per entry via run-length over the sorted hashes
+    # (jnp.searchsorted's default 'scan' method is pathologically slow on
+    # TPU; this is a pure elementwise/scan formulation instead)
+    n = h.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.concatenate([jnp.ones(1, jnp.bool_), h[1:] != h[:-1]])
+    run_lo = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first, iota, 0))
+    last = jnp.concatenate([h[1:] != h[:-1], jnp.ones(1, jnp.bool_)])
+    run_hi = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(last, iota, n - 1), reverse=True)
+    occ_ok = (run_hi - run_lo + 1) <= max_occ
     return MinimizerIndex(hash=h, tid=tid, tpos=tpos, tstrand=tstrand,
                           tlen=tlen, occ_ok=occ_ok)
 
@@ -130,14 +144,15 @@ def collect_anchors(ms: MinimizerSet, qlens: jax.Array, qbase,
     qlen = jnp.broadcast_to(qlens[:, None].astype(jnp.int32), (B, M)).reshape(-1)
     qvalid = qvalid.reshape(-1)
 
-    lo = jnp.searchsorted(index.hash, qh, side="left")
-    hi = jnp.searchsorted(index.hash, qh, side="right")
+    lo = jnp.searchsorted(index.hash, qh, side="left", method="sort")
 
     F = max_hits
     Nq = qh.shape[0]
     f = jnp.arange(F, dtype=jnp.int32)[None, :]            # [1, F]
     t_idx = jnp.minimum(lo[:, None] + f, index.hash.shape[0] - 1)  # [Nq, F]
-    in_range = (lo[:, None] + f) < hi[:, None]
+    # a slot is a real occurrence iff the gathered hash still matches
+    # (replaces the 'right'-side searchsorted)
+    in_range = index.hash[t_idx] == qh[:, None]
 
     tid = index.tid[t_idx]
     tpos = index.tpos[t_idx]
@@ -184,11 +199,12 @@ def group_candidates(a: Anchors, *, bandwidth: int, min_anchors: int,
     pair2 = jnp.where(a.valid, a.tid * 2 + a.strand, INT_MAX)
     band = jnp.where(a.valid, band, INT_MAX)
 
-    qid, pair2, band, qpos, tpos, qlen, tlen, validi = jax.lax.sort(
-        (a.qid, pair2, band, a.qpos, a.tpos, a.qlen, a.tlen,
-         a.valid.astype(jnp.int32)),
-        num_keys=4, is_stable=True)
-    valid = validi.astype(jnp.bool_)
+    iota0 = jnp.arange(N, dtype=jnp.int32)
+    qid, pair2, band, perm = jax.lax.sort(
+        (a.qid, pair2, band, iota0), num_keys=3, is_stable=True)
+    qpos, tpos = a.qpos[perm], a.tpos[perm]
+    qlen, tlen = a.qlen[perm], a.tlen[perm]
+    valid = a.valid[perm]
 
     idx = jnp.arange(N, dtype=jnp.int32)
     prev = jnp.maximum(idx - 1, 0)
@@ -234,13 +250,16 @@ def group_candidates(a: Anchors, *, bandwidth: int, min_anchors: int,
                                      num_segments=R)
     is_winner = is_best & (r == first_best[pair_id]) & (merged >= min_anchors)
 
-    # compact winning runs into P candidate slots
-    cslot = jnp.cumsum(is_winner.astype(jnp.int32)) - 1
-    cslot = jnp.where(is_winner & (cslot < P), cslot, P)
+    # compact winning runs into P candidate slots. A scatter into P slots
+    # serializes badly on TPU; instead sort (rank, iota) once and gather.
+    rank = jnp.cumsum(is_winner.astype(jnp.int32)) - 1
+    key = jnp.where(is_winner & (rank < P), rank, INT_MAX)
+    _, perm_w = jax.lax.sort((key, r), num_keys=1, is_stable=True)
+    sel = perm_w[:P]
+    sel_ok = is_winner[sel]
 
     def compact(x, fill):
-        return jnp.full((P + 1,), fill, x.dtype).at[cslot].set(
-            x, mode="drop")[:P]
+        return jnp.where(sel_ok, x[sel], jnp.asarray(fill, x.dtype))
 
     c_start = compact(merged_start, 0)
     c_full = compact(merged_end - merged_start, 0)   # uncapped run length
