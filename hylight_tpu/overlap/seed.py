@@ -185,11 +185,30 @@ def collect_anchors(ms: MinimizerSet, qlens: jax.Array, qbase,
     )
 
 
+def _seg_scan(x, flags, op, reverse: bool = False):
+    """Segmented associative scan: ``op`` accumulates within segments whose
+    FIRST element (in scan direction) has flags=True. All elementwise — no
+    scatters (TPU segment_* ops lower to slow scatters)."""
+    def comb(a, b):
+        v1, f1 = a
+        v2, f2 = b
+        return jnp.where(f2, v2, op(v1, v2)), f1 | f2
+
+    v, _ = jax.lax.associative_scan(comb, (x, flags), reverse=reverse)
+    return v
+
+
 @functools.partial(jax.jit, static_argnames=(
     "bandwidth", "min_anchors", "max_pairs", "anchors_per_pair"))
 def group_candidates(a: Anchors, *, bandwidth: int, min_anchors: int,
                      max_pairs: int, anchors_per_pair: int) -> Candidates:
-    """Diagonal-band voting: anchors -> per-pair overlap candidates."""
+    """Diagonal-band voting: anchors -> per-pair overlap candidates.
+
+    Everything after the sort is per-ELEMENT segmented-scan + gather work
+    (zero scatters): run extents via cummax/cummin, neighbor-band merge via
+    gathers at run boundaries, per-pair winner via bidirectional segmented
+    max.
+    """
     N = a.qid.shape[0]
     P, A = max_pairs, anchors_per_pair
 
@@ -210,57 +229,61 @@ def group_candidates(a: Anchors, *, bandwidth: int, min_anchors: int,
     prev = jnp.maximum(idx - 1, 0)
     same_pair_prev = (qid == qid[prev]) & (pair2 == pair2[prev]) & (idx > 0)
     new_run = ~(same_pair_prev & (band == band[prev]))
-    run_id = jnp.cumsum(new_run.astype(jnp.int32)) - 1      # [N] dense run ids
+    last_run = jnp.concatenate([new_run[1:], jnp.ones(1, jnp.bool_)])
 
-    ones = valid.astype(jnp.int32)
-    count = jax.ops.segment_sum(ones, run_id, num_segments=N)
-    run_start = jax.ops.segment_min(idx, run_id, num_segments=N)
-    # per-run metadata (values constant within a run)
-    run_qid = jax.ops.segment_min(jnp.where(valid, qid, INT_MAX), run_id,
-                                  num_segments=N)
-    run_pair2 = jax.ops.segment_min(jnp.where(valid, pair2, INT_MAX), run_id,
-                                    num_segments=N)
-    run_band = jax.ops.segment_min(jnp.where(valid, band, INT_MAX), run_id,
-                                   num_segments=N)
+    # per-element run extents (inclusive)
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(new_run, idx, 0))
+    run_end = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(last_run, idx, N - 1), reverse=True)
 
-    R = N  # run arrays are padded to N
-    r = jnp.arange(R, dtype=jnp.int32)
-    rprev = jnp.maximum(r - 1, 0)
-    rnext = jnp.minimum(r + 1, R - 1)
-    same_prev = (run_qid == run_qid[rprev]) & (run_pair2 == run_pair2[rprev]) \
-        & (run_band - run_band[rprev] == 1) & (r > 0)
-    same_next = (run_qid == run_qid[rnext]) & (run_pair2 == run_pair2[rnext]) \
-        & (run_band[rnext] - run_band == 1) & (r < R - 1)
-    merged = count + jnp.where(same_prev, count[rprev], 0) \
-        + jnp.where(same_next, count[rnext], 0)
-    merged_start = jnp.where(same_prev, run_start[rprev], run_start)
-    merged_end = jnp.where(same_next,
-                           run_start[rnext] + count[rnext],
-                           run_start + count)
+    # valid-anchor count per run via exclusive prefix sums + gathers
+    cv = jnp.cumsum(valid.astype(jnp.int32))     # inclusive
+    cv_before = jnp.where(run_start > 0, cv[jnp.maximum(run_start - 1, 0)], 0)
+    count = cv[run_end] - cv_before              # [N], constant within run
 
-    run_is_real = run_qid != INT_MAX
-    # pick the best (max merged votes) run per pair; ties -> lowest run id
-    new_pair_run = run_is_real & ~((run_qid == run_qid[rprev])
-                                   & (run_pair2 == run_pair2[rprev]) & (r > 0))
-    pair_id = jnp.cumsum(new_pair_run.astype(jnp.int32)) - 1
-    best = jax.ops.segment_max(jnp.where(run_is_real, merged, -1), pair_id,
-                               num_segments=R)
-    is_best = run_is_real & (merged == best[pair_id])
-    first_best = jax.ops.segment_min(jnp.where(is_best, r, INT_MAX), pair_id,
-                                     num_segments=R)
-    is_winner = is_best & (r == first_best[pair_id]) & (merged >= min_anchors)
+    # neighbor-run merge (band +-1 within the same pair): gather at the
+    # boundary elements
+    jp = jnp.maximum(run_start - 1, 0)           # last element of prev run
+    jn = jnp.minimum(run_end + 1, N - 1)         # first element of next run
+    same_prev = (run_start > 0) & (qid[jp] == qid) & (pair2[jp] == pair2) \
+        & (band - band[jp] == 1)
+    same_next = (run_end < N - 1) & (qid[jn] == qid) & (pair2[jn] == pair2) \
+        & (band[jn] - band == 1)
+    merged = count + jnp.where(same_prev, count[jp], 0) \
+        + jnp.where(same_next, count[jn], 0)
+    merged_start = jnp.where(same_prev, run_start[jp], run_start)
+    merged_end = jnp.where(same_next, run_end[jn], run_end) + 1
+
+    is_real = qid != INT_MAX
+    # per-pair max of merged (bidirectional segmented max)
+    new_pair = (idx == 0) | (qid != qid[prev]) | (pair2 != pair2[prev])
+    last_pair = jnp.concatenate([new_pair[1:], jnp.ones(1, jnp.bool_)])
+    m = jnp.where(is_real, merged, -1)
+    fwd = _seg_scan(m, new_pair, jnp.maximum)
+    bwd = _seg_scan(m, last_pair, jnp.maximum, reverse=True)
+    pairmax = jnp.maximum(fwd, bwd)
+    achieves = is_real & (merged == pairmax)
+    # earliest achieving run in the pair
+    e = jnp.where(achieves, run_start, INT_MAX)
+    efwd = _seg_scan(e, new_pair, jnp.minimum)
+    ebwd = _seg_scan(e, last_pair, jnp.minimum, reverse=True)
+    first_best = jnp.minimum(efwd, ebwd)
+    is_winner = achieves & (run_start == first_best) & (idx == run_start) \
+        & (merged >= min_anchors)
 
     # compact winning runs into P candidate slots. A scatter into P slots
     # serializes badly on TPU; instead sort (rank, iota) once and gather.
     rank = jnp.cumsum(is_winner.astype(jnp.int32)) - 1
     key = jnp.where(is_winner & (rank < P), rank, INT_MAX)
-    _, perm_w = jax.lax.sort((key, r), num_keys=1, is_stable=True)
+    _, perm_w = jax.lax.sort((key, idx), num_keys=1, is_stable=True)
     sel = perm_w[:P]
     sel_ok = is_winner[sel]
 
     def compact(x, fill):
         return jnp.where(sel_ok, x[sel], jnp.asarray(fill, x.dtype))
 
+    run_qid, run_pair2 = qid, pair2              # constant within valid runs
     c_start = compact(merged_start, 0)
     c_full = compact(merged_end - merged_start, 0)   # uncapped run length
     c_len = jnp.minimum(c_full, A)
