@@ -62,37 +62,59 @@ def pair_units(rs: ReadSet) -> np.ndarray:
 
 
 def hybrid_assemble(lr: ReadSet, sr: Optional[ReadSet], cfg: Config, *,
-                    corrected: bool = False,
-                    query_block: int = 64) -> AssemblyOutputs:
+                    corrected: bool = False, query_block: int = 64,
+                    checkpoint_dir: Optional[str] = None) -> AssemblyOutputs:
+    from hylight_tpu.io.checkpoint import Checkpointer
+    ck = Checkpointer(checkpoint_dir)
+
     # 1. correction
     if not corrected and not cfg.correct.skip:
         if sr is not None and sr.n:
-            with stage("correct_sr"):
-                sr = correct_reads(sr, k=min(cfg.correct.sr_k, 15),
-                                   min_count=cfg.correct.sr_min_count)
-            with stage("correct_lr"):
-                lr = correct_reads(lr, spectrum_reads=sr,
-                                   k=min(cfg.correct.lr_k, 15),
-                                   min_count=cfg.correct.sr_min_count,
-                                   rounds=cfg.correct.lr_rounds)
+            cached = ck.load("corrected_sr")
+            if cached is not None:
+                sr = cached
+            else:
+                with stage("correct_sr"):
+                    sr = correct_reads(sr, k=min(cfg.correct.sr_k, 15),
+                                       min_count=cfg.correct.sr_min_count)
+                ck.save("corrected_sr", sr)
+            cached = ck.load("corrected_lr")
+            if cached is not None:
+                lr = cached
+            else:
+                with stage("correct_lr"):
+                    lr = correct_reads(lr, spectrum_reads=sr,
+                                       k=min(cfg.correct.lr_k, 15),
+                                       min_count=cfg.correct.sr_min_count,
+                                       rounds=cfg.correct.lr_rounds)
+                ck.save("corrected_lr", lr)
 
     # 2. long-read contigs
-    long_contigs = assemble_long_reads(lr, cfg, sr=sr,
-                                       query_block=query_block)
+    long_contigs = ck.load("long_contigs")
+    if long_contigs is None:
+        long_contigs = assemble_long_reads(lr, cfg, sr=sr,
+                                           query_block=query_block)
+        ck.save("long_contigs", long_contigs)
 
     # 3-5. short-read clusters -> per-cluster strain assembly
-    cluster_contigs = ReadSet.from_seqs([])
-    if sr is not None and sr.n:
-        leftover = _leftover_short_reads(sr, long_contigs, cfg)
-        log.info("[P::pipeline] %d/%d short reads left for clustering",
-                 leftover.n, sr.n)
-        if leftover.n >= cfg.cluster.min_cluster_size:
-            cluster_contigs = _assemble_clusters(leftover, cfg)
+    cluster_contigs = ck.load("cluster_contigs")
+    if cluster_contigs is None:
+        cluster_contigs = ReadSet.from_seqs([])
+        if sr is not None and sr.n:
+            leftover = _leftover_short_reads(sr, long_contigs, cfg)
+            log.info("[P::pipeline] %d/%d short reads left for clustering",
+                     leftover.n, sr.n)
+            if leftover.n >= cfg.cluster.min_cluster_size:
+                cluster_contigs = _assemble_clusters(leftover, cfg)
+        ck.save("cluster_contigs", cluster_contigs)
 
     # 6. stage-b over pooled cluster contigs
-    short_stageb = extend_contigs(cluster_contigs, cfg) \
-        if cluster_contigs.n else ReadSet.from_seqs([])
-    short_stageb.names = [f"short_{i}" for i in range(short_stageb.n)]
+    short_stageb = ck.load("short_stageb")
+    if short_stageb is None:
+        short_stageb = extend_contigs(cluster_contigs, cfg) \
+            if cluster_contigs.n else ReadSet.from_seqs([])
+        short_stageb.names = [f"short_{i}" for i in range(short_stageb.n)]
+        ck.save("short_stageb", short_stageb)
 
     # 7. master contigs
     all_contigs = short_stageb.concat(long_contigs)

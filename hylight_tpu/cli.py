@@ -10,6 +10,7 @@ and logged: --nsplit (sharding is automatic over the device mesh), -t
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from hylight_tpu.config import (Config, ClusterConfig, CorrectConfig,
@@ -72,7 +73,8 @@ def main(argv=None) -> int:
     log.info("[CLI] %d long reads, %s short reads", lr.n,
              sr.n if sr else "no")
 
-    out = hybrid_assemble(lr, sr, cfg, corrected=a.corrected)
+    out = hybrid_assemble(lr, sr, cfg, corrected=a.corrected,
+                          checkpoint_dir=os.path.join(a.outdir, "tmp"))
     write_outputs(out, a.outdir)
     log.info("[CLI] wrote %s: final=%d long=%d short=%d", a.outdir,
              out.final_contigs.n, out.long_contigs.n, out.short_stageb.n)

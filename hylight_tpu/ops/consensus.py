@@ -181,11 +181,10 @@ def _polish_round(contigs: ReadSet, reads: ReadSet, *, cfg: OverlapConfig,
                 pos=jnp.pad(qm.pos, ((0, pad), (0, 0)), constant_values=-1),
                 strand=jnp.pad(qm.strand, ((0, pad), (0, 0))),
                 count=jnp.pad(qm.count, (0, pad)))
-        qlens_blk = jnp.pad(lens[lo:lo + nrow], (0, B - nrow))
-        anchors = seed_mod.collect_anchors(qm, qlens_blk, lo, index, k=cfg.k,
+        anchors = seed_mod.collect_anchors(qm, lo, index, k=cfg.k,
                                            max_hits=cfg.max_occ,
                                            dedup_self=False)
-        cand = seed_mod.group_candidates(anchors, bandwidth=64,
+        cand = seed_mod.group_candidates(anchors, lens, bandwidth=64,
                                          min_anchors=cfg.min_anchors,
                                          max_pairs=P,
                                          anchors_per_pair=cfg.anchors_per_pair)

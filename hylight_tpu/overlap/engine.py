@@ -126,13 +126,10 @@ def find_overlaps(reads: ReadSet, targets: Optional[ReadSet] = None, *,
                 strand=jnp.pad(qm.strand, ((0, pad), (0, 0))),
                 count=jnp.pad(qm.count, (0, pad)),
             )
-        qlens_blk = jnp.pad(lens_d[lo:min(lo + B, nq)], (0, B - nrow))
-
         anchors = seed_mod.collect_anchors(
-            qm, qlens_blk, lo, index, k=cfg.k, max_hits=cfg.max_occ,
-            dedup_self=ava)
+            qm, lo, index, k=cfg.k, max_hits=cfg.max_occ, dedup_self=ava)
         cand = seed_mod.group_candidates(
-            anchors, bandwidth=64, min_anchors=cfg.min_anchors,
+            anchors, lens_d, bandwidth=64, min_anchors=cfg.min_anchors,
             max_pairs=P, anchors_per_pair=A)
         ch = refine_chains(cand, k=cfg.k, min_score=cfg.min_chain_score,
                            max_gap=cfg.max_gap)
@@ -153,12 +150,26 @@ def find_overlaps(reads: ReadSet, targets: Optional[ReadSet] = None, *,
         parts.append(_materialize(ch, ext, sc, t_off))
 
     table = OverlapTable.concat(parts)
+    table = _dedup_best_per_pair(table)
     if cap_overlaps and table.n > 0:
         keep = cap_per_read(table.qid, table.tid, table.score,
                             cfg.max_overlaps_per_read)
         table = table.select(keep)
     stats.overlaps = table.n
     return table
+
+
+def _dedup_best_per_pair(table: OverlapTable) -> OverlapTable:
+    """Keep the best-scoring overlap per (qid, tid) pair — the reference's
+    fkey dedup (``filter_overlap_slr2.py:133``). Needed because long
+    overlaps can emit one candidate window per diagonal-band cluster."""
+    if table.n == 0:
+        return table
+    key = table.qid.astype(np.int64) * (int(table.tid.max()) + 1) + table.tid
+    order = np.lexsort((-table.score, key))
+    skey = key[order]
+    first = np.concatenate([[True], skey[1:] != skey[:-1]])
+    return table.select(order[first])
 
 
 def _materialize(ch, ext, sc, t_off: int) -> OverlapTable:

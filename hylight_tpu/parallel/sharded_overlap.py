@@ -60,11 +60,12 @@ def make_sharded_overlap_fn(mesh, cfg: OverlapConfig, *, mcap: int,
         seqs_g = gather(seqs_l)
 
         index = seed_mod.build_index(ms_g, lens_g, 0, max_occ=cfg.max_occ)
-        anchors = seed_mod.collect_anchors(ms_l, lens_l, qbase, index,
+        anchors = seed_mod.collect_anchors(ms_l, qbase, index,
                                            k=cfg.k, max_hits=cfg.max_occ,
                                            dedup_self=True)
         cand = seed_mod.group_candidates(
-            anchors, bandwidth=64, min_anchors=cfg.min_anchors,
+            anchors, lens_g.astype(jnp.int32), bandwidth=64,
+            min_anchors=cfg.min_anchors,
             max_pairs=max_pairs, anchors_per_pair=cfg.anchors_per_pair)
         ch = refine_chains(cand, k=cfg.k, min_score=cfg.min_chain_score,
                            max_gap=cfg.max_gap)

@@ -16,7 +16,11 @@ _FMT = "%(asctime)s - %(levelname)s: %(message)s"
 
 
 def get_logger(name: str = "hylight_tpu", logfile: Optional[str] = None,
-               level: int = logging.INFO) -> logging.Logger:
+               level: int = logging.INFO,
+               rotating: bool = True) -> logging.Logger:
+    """Console + optional timed-rotating file logger (the reference's
+    Logger class contract, ``toolkits.py:141-160``: midnight rotation,
+    file/line format)."""
     log = logging.getLogger(name)
     if not log.handlers:
         h = logging.StreamHandler()
@@ -25,10 +29,18 @@ def get_logger(name: str = "hylight_tpu", logfile: Optional[str] = None,
         log.setLevel(level)
         log.propagate = False
     if logfile is not None and not any(
-            isinstance(h, logging.FileHandler) and h.baseFilename == logfile
+            isinstance(h, logging.FileHandler) and h.baseFilename ==
+            logging.FileHandler(logfile, delay=True).baseFilename
             for h in log.handlers):
-        fh = logging.FileHandler(logfile)
-        fh.setFormatter(logging.Formatter(_FMT))
+        if rotating:
+            from logging.handlers import TimedRotatingFileHandler
+            fh = TimedRotatingFileHandler(logfile, when="midnight",
+                                          backupCount=7)
+        else:
+            fh = logging.FileHandler(logfile)
+        fh.setFormatter(logging.Formatter(
+            "%(asctime)s - %(pathname)s[line:%(lineno)d] - %(levelname)s: "
+            "%(message)s"))
         log.addHandler(fh)
     return log
 

@@ -13,9 +13,10 @@ def _candidates(seqs, dedup_self=True, min_anchors=4, bandwidth=64):
     cap = max(64, (padded.shape[1] * 2) // (W + 1) + 32)
     ms = minimizers(padded, lens, k=K, w=W, cap=cap)
     idx = build_index(ms, lens, 0, max_occ=16)
-    anchors = collect_anchors(ms, lens, 0, idx, k=K, max_hits=16,
+    anchors = collect_anchors(ms, 0, idx, k=K, max_hits=16,
                               dedup_self=dedup_self)
-    return group_candidates(anchors, bandwidth=bandwidth,
+    import jax.numpy as jnp
+    return group_candidates(anchors, jnp.asarray(lens), bandwidth=bandwidth,
                             min_anchors=min_anchors, max_pairs=64,
                             anchors_per_pair=128)
 
