@@ -34,9 +34,56 @@ from hylight_tpu.utils import get_logger, stage
 log = get_logger()
 
 
+def coverage_trim(table, reads: ReadSet, *, min_dp: int,
+                  min_span: int) -> ReadSet:
+    """Per-read coverage-plateau selection (miniasm ``ma_hit_sub``,
+    ``hit.c:109-161``): keep, per read, the longest region covered by
+    >= min_dp overlaps; drop reads whose plateau is shorter than min_span.
+    With min_dp == 1 (HyLight default ``-c 1``) this trims to the union of
+    covered spans. Chimeric junctions (coverage dips) split reads."""
+    if min_dp <= 0 or table.n == 0:
+        return reads
+    ends = []
+    for rid_arr, s_arr, e_arr in ((table.qid, table.qs, table.qe),
+                                  (table.tid, table.ts, table.te)):
+        ends.append(np.stack([rid_arr, s_arr, np.ones_like(s_arr)], axis=1))
+        ends.append(np.stack([rid_arr, e_arr, -np.ones_like(e_arr)], axis=1))
+    ev = np.concatenate(ends)
+    order = np.lexsort((-ev[:, 2], ev[:, 1], ev[:, 0]))
+    ev = ev[order]
+    new_seqs, kept = [], []
+    i = 0
+    E = len(ev)
+    while i < E:
+        rid = ev[i, 0]
+        depth = 0
+        best = (0, 0)
+        start = 0
+        j = i
+        while j < E and ev[j, 0] == rid:
+            pos, d = ev[j, 1], ev[j, 2]
+            if d > 0:
+                depth += 1
+                if depth == min_dp:
+                    start = pos
+            else:
+                if depth == min_dp and pos - start > best[1] - best[0]:
+                    best = (start, pos)
+                depth -= 1
+            j += 1
+        if best[1] - best[0] >= min_span:
+            new_seqs.append(reads.get(int(rid))[int(best[0]):int(best[1])])
+            kept.append(int(rid))
+        i = j
+    quals = None
+    names = [reads.names[r] for r in kept] if reads.names else None
+    return ReadSet.from_seqs(new_seqs, quals=quals, names=names)
+
+
 def _layout(reads: ReadSet, cfg: Config, *, query_block: int) -> ReadSet:
     """overlaps -> SNP filter -> string graph -> unitig contigs."""
     oc = cfg.overlap
+    lay = cfg.layout
     table = find_overlaps(reads, cfg=oc, query_block=query_block)
     if table.n:
         keep = snp_filter(table, mc=cfg.snp.mc, max_frac=cfg.snp.max_snp_frac,
@@ -44,13 +91,24 @@ def _layout(reads: ReadSet, cfg: Config, *, query_block: int) -> ReadSet:
         table = table.select(keep)
     if table.n == 0:
         return ReadSet.from_seqs([])
-    lay = cfg.layout
+    if lay.min_coverage > 1:
+        # low-quality mode (-c 3): trim reads to their coverage plateau and
+        # redo overlaps on the trimmed set (miniasm's 2-pass selection,
+        # main.c:119-142)
+        reads = coverage_trim(table, reads, min_dp=lay.min_coverage,
+                              min_span=lay.min_span)
+        if reads.n < 2:
+            return ReadSet.from_seqs([])
+        table = find_overlaps(reads, cfg=oc, query_block=query_block)
+        if table.n == 0:
+            return ReadSet.from_seqs([])
     arcs, contained = overlaps_to_arcs(
         table, reads.n, min_ovlp=lay.min_match,
         max_hang=cfg.overlap.max_overhang, int_frac=lay.int_frac)
-    arcs = transitive_reduction(arcs)
-    arcs, dropped = cut_tips(arcs, max_ext=lay.min_unitig_reads)
-    arcs = pop_bubbles(arcs, max_dist=lay.bubble_dist)
+    for _ in range(max(1, lay.rounds)):       # miniasm -n cleaning rounds
+        arcs = transitive_reduction(arcs)
+        arcs, dropped = cut_tips(arcs, max_ext=lay.min_unitig_reads)
+        arcs = pop_bubbles(arcs, max_dist=lay.bubble_dist)
     utg = unitigs(arcs, drop_reads=contained | dropped)
     return unitig_seqs(utg, reads)
 

@@ -160,14 +160,26 @@ def _assemble_clusters(leftover: ReadSet, cfg: Config) -> ReadSet:
     unit_members: Dict[int, List[int]] = {}
     for i, u in enumerate(units):
         unit_members.setdefault(int(u), []).append(i)
+    n_failed = 0
     for ci, cl in enumerate(clusters):
         ridx = sorted(r for u in cl for r in unit_members[int(u)])
         sub = leftover.subset(ridx)
-        with stage(f"sr_polyte_c{ci}"):
-            contigs = sr_assemble(sub, cfg)
+        try:
+            with stage(f"sr_polyte_c{ci}"):
+                contigs = sr_assemble(sub, cfg)
+        except Exception:
+            # a failed cluster is reported, not fatal (the reference only
+            # reports missing per-cluster contigs, HyLight.py:250-256)
+            log.exception("[P::pipeline] cluster %d assembly failed "
+                          "(%d reads); continuing", ci, sub.n)
+            n_failed += 1
+            continue
         if contigs.n:
             contigs.names = [f"cl{ci}_{nm}" for nm in contigs.names]
             parts.append(contigs)
+    if n_failed:
+        log.warning("[P::pipeline] %d/%d clusters failed", n_failed,
+                    len(clusters))
     if not parts:
         return ReadSet.from_seqs([])
     out = parts[0]

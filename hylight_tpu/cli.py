@@ -78,6 +78,17 @@ def main(argv=None) -> int:
     write_outputs(out, a.outdir)
     log.info("[CLI] wrote %s: final=%d long=%d short=%d", a.outdir,
              out.final_contigs.n, out.long_contigs.n, out.short_stageb.n)
+    # stats.txt: per-stage wall clock + output counts (the reference's
+    # stats.txt / pipeline.log observability contract)
+    with open(os.path.join(a.outdir, "stats.txt"), "w") as f:
+        f.write(f"final_contigs\t{out.final_contigs.n}\t"
+                f"{int(out.final_contigs.lengths.sum()) if out.final_contigs.n else 0}\n")
+        f.write(f"long_contigs\t{out.long_contigs.n}\t"
+                f"{int(out.long_contigs.lengths.sum()) if out.long_contigs.n else 0}\n")
+        f.write(f"short_stageb\t{out.short_stageb.n}\t"
+                f"{int(out.short_stageb.lengths.sum()) if out.short_stageb.n else 0}\n")
+        for k, v in STAGE_TIMES.items():
+            f.write(f"stage_seconds\t{k}\t{v:.3f}\n")
     for k, v in STAGE_TIMES.items():
         log.info("[CLI] stage %-24s %8.2f s", k, v)
     return 0

@@ -1,0 +1,34 @@
+"""Per-stage TPU timing of the overlap block (sync via host fetch)."""
+import time, numpy as np
+import jax, jax.numpy as jnp
+from hylight_tpu.io.readset import ReadSet
+from hylight_tpu.ops.minimizers import minimizers
+from hylight_tpu.overlap import seed as sm
+from hylight_tpu.overlap.chain import refine_chains
+from hylight_tpu.overlap.extend import extend_chains
+from hylight_tpu.overlap.filters import admission_filter
+
+rng = np.random.default_rng(7)
+n_reads, read_len = 64, 8192
+glen = n_reads*read_len//12
+g = rng.integers(0,4,glen).astype(np.uint8)
+starts = rng.integers(0, glen-read_len, n_reads)
+rs = ReadSet.from_seqs([g[s:s+read_len] for s in starts])
+seqs_np, lens_np = rs.to_padded(max_len=read_len)
+seqs=jnp.asarray(seqs_np); lens=jnp.asarray(lens_np)
+
+def timeit(name, f, *a):
+    r = f(*a); _ = np.asarray(jax.tree.leaves(r)[0]).ravel()[:1]
+    t0=time.time(); iters=10
+    for _ in range(iters): r = f(*a)
+    _ = np.asarray(jax.tree.leaves(r)[0]).ravel()[:1]
+    print(name, round((time.time()-t0)/iters,4), flush=True); return r
+
+ms = timeit("minimizers", lambda s,l: minimizers(s,l,k=15,w=5,cap=2816), seqs, lens)
+idx = timeit("build_index", lambda m,l: sm.build_index(m,l,0,max_occ=16), ms, lens)
+an = timeit("collect_anchors", lambda m,i: sm.collect_anchors(m,0,i,k=15,max_hits=16,dedup_self=True), ms, idx)
+cand = timeit("group_candidates", lambda a,l: sm.group_candidates(a,l,bandwidth=64,min_anchors=4,max_pairs=2048,anchors_per_pair=256), an, lens)
+ch = timeit("refine_chains", lambda c: refine_chains(c,k=15,min_score=100,max_gap=10000), cand)
+ext = timeit("extend_chains", lambda c,s: extend_chains(c,s,k=15,gap_tile=32,max_mismatch=64), ch, seqs)
+sc = timeit("admission", lambda c,e: admission_filter(c,e,min_len=2000,min_identity=0.9,max_overhang=1000,overhang_ratio=0.8), ch, ext)
+print("admitted", int(jnp.sum(sc.valid)), "chained", int(jnp.sum(ch.valid)))
