@@ -19,7 +19,7 @@ from hylight_tpu.overlap.filters import admission_filter
 
 
 def make_block_fn(cfg: OverlapConfig, *, mcap: int, max_pairs: int,
-                  snp_cap: int = 64):
+                  snp_cap: int = 64, use_pallas: bool = False):
     """Build a jittable fn(seqs, lens) -> (Chains, Extensions, ScoredOverlaps)
     computing all-vs-all overlaps inside one padded read block."""
 
@@ -36,8 +36,14 @@ def make_block_fn(cfg: OverlapConfig, *, mcap: int, max_pairs: int,
             max_pairs=max_pairs, anchors_per_pair=cfg.anchors_per_pair)
         ch = refine_chains(cand, k=cfg.k, min_score=cfg.min_chain_score,
                            max_gap=cfg.max_gap)
-        ext = extend_chains(ch, seqs, k=cfg.k, gap_tile=cfg.gap_tile,
-                            max_mismatch=snp_cap)
+        if use_pallas:
+            from hylight_tpu.ops.pallas_verify import (extend_chains_pallas,
+                                                       make_seqs2)
+            ext = extend_chains_pallas(ch, make_seqs2(seqs, lens),
+                                       k=cfg.k, max_mismatch=snp_cap)
+        else:
+            ext = extend_chains(ch, seqs, k=cfg.k, gap_tile=cfg.gap_tile,
+                                max_mismatch=snp_cap)
         sc = admission_filter(ch, ext, min_len=cfg.min_ovlp_len,
                               min_identity=cfg.min_identity,
                               max_overhang=cfg.max_overhang,

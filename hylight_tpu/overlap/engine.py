@@ -61,6 +61,7 @@ def find_overlaps(reads: ReadSet, targets: Optional[ReadSet] = None, *,
                   pairs_per_block: Optional[int] = None,
                   snp_cap: int = 128,
                   cap_overlaps: bool = True,
+                  use_pallas: Optional[bool] = None,
                   stats: Optional[EngineStats] = None) -> OverlapTable:
     """All-vs-all (targets=None) or set-vs-set overlap detection.
 
@@ -88,6 +89,16 @@ def find_overlaps(reads: ReadSet, targets: Optional[ReadSet] = None, *,
         t_off = nq
     seqs_d = jnp.asarray(seqs)
     lens_d = jnp.asarray(lens)
+
+    # the Pallas verify kernel needs the real MXU/VPU backend; the XLA
+    # gather path is the CPU/interpret fallback
+    if use_pallas is None:
+        import jax
+        use_pallas = jax.default_backend() == "tpu"
+    seqs2_d = None
+    if use_pallas:
+        from hylight_tpu.ops.pallas_verify import make_seqs2
+        seqs2_d = make_seqs2(seqs_d, lens_d)
 
     # minimizer cap from winnowing density 2/(w+1) (+ slack for end rule)
     mcap = _round_up(int(2 * L / (cfg.w + 1)) + 64, 64)
@@ -133,8 +144,13 @@ def find_overlaps(reads: ReadSet, targets: Optional[ReadSet] = None, *,
             max_pairs=P, anchors_per_pair=A)
         ch = refine_chains(cand, k=cfg.k, min_score=cfg.min_chain_score,
                            max_gap=cfg.max_gap)
-        ext = extend_chains(ch, seqs_d, k=cfg.k, gap_tile=cfg.gap_tile,
-                            max_mismatch=snp_cap)
+        if use_pallas:
+            from hylight_tpu.ops.pallas_verify import extend_chains_pallas
+            ext = extend_chains_pallas(ch, seqs2_d, k=cfg.k,
+                                       max_mismatch=snp_cap)
+        else:
+            ext = extend_chains(ch, seqs_d, k=cfg.k, gap_tile=cfg.gap_tile,
+                                max_mismatch=snp_cap)
         sc = admission_filter(
             ch, ext, min_len=cfg.min_ovlp_len, min_identity=cfg.min_identity,
             max_overhang=cfg.max_overhang, overhang_ratio=cfg.overhang_ratio)
