@@ -40,7 +40,7 @@ TILE = 8     # pairs per grid step (TPU blocks need a sublane dim >= 8)
 
 
 def _verify_kernel(qrow_ref, trow_ref, diagsf_ref, slots_ref, seqs_ref,
-                   match_ref, cols_ref, mm_ref, qbuf, tbuf, sems):
+                   match_ref, cols_ref, mm_ref, qbuf, tbuf, t3buf, sems):
     L = slots_ref.shape[1]
     p = pl.program_id(0)
 
@@ -62,26 +62,33 @@ def _verify_kernel(qrow_ref, trow_ref, diagsf_ref, slots_ref, seqs_ref,
                               tbuf.at[pl.ds(i, 1), :],
                               sems.at[TILE + i]).wait()
 
+    # triple each target row in scratch so diagonal shifts are dynamic
+    # ref-slices (value-level dynamic_slice has no TPU lowering)
+    for i in range(TILE):
+        t = tbuf[i:i + 1, :]
+        t3buf[i:i + 1, 0:L] = t
+        t3buf[i:i + 1, L:2 * L] = t
+        t3buf[i:i + 1, 2 * L:3 * L] = t
+
     for i in range(TILE):
         q = qbuf[i:i + 1, :]
-        t = tbuf[i:i + 1, :]
         slots = slots_ref[i:i + 1, :]
-        t3 = jnp.concatenate([t, t, t], axis=1)       # [1, 3L]
         mm_acc = jnp.zeros((1, L), jnp.int8)
         m_acc = jnp.int32(0)
         c_acc = jnp.int32(0)
         for j in range(D_MAX):
             d = diagsf_ref[(p * TILE + i) * D_MAX + j]
             sel = slots == j
-            tsh = jax.lax.dynamic_slice(t3, (0, L - d), (1, L))
+            tsh = t3buf[i:i + 1, pl.ds(L - d, L)]
             both = (q < 4) & (tsh < 4)
             eq = both & (q == tsh)
             use = sel & both
             m_acc = m_acc + jnp.sum((use & eq).astype(jnp.int32))
             c_acc = c_acc + jnp.sum(use.astype(jnp.int32))
             mm_acc = jnp.where(use & ~eq, jnp.int8(1), mm_acc)
-        match_ref[i, 0] = m_acc
-        cols_ref[i, 0] = c_acc
+        # vector stores only in VMEM: broadcast the scalar over the row
+        match_ref[i:i + 1, :] = jnp.full((1, 128), m_acc, jnp.int32)
+        cols_ref[i:i + 1, :] = jnp.full((1, 128), c_acc, jnp.int32)
         mm_ref[i:i + 1, :] = mm_acc
 
 
@@ -121,6 +128,7 @@ def pallas_gap_verify(qrow: jax.Array, trow: jax.Array, diags: jax.Array,
         scratch_shapes=[
             pltpu.VMEM((TILE, L), jnp.uint8),
             pltpu.VMEM((TILE, L), jnp.uint8),
+            pltpu.VMEM((TILE, 3 * L), jnp.uint8),
             pltpu.SemaphoreType.DMA((2 * TILE,)),
         ],
     )
