@@ -12,6 +12,11 @@ iterated overlap-layout-consensus loop over a read cluster,
     overlaps merge), greedy disjoint edge pairing, 2-read consensus
     (getEdgesForMerging GraphAlgos.cpp:112, mergeAlongEdges SRBuilder.cpp:1238),
     repeated until the read count is stable;
+  every iteration first runs the graph-cleaning cascade of
+    ViralQuasispecies.cpp:297-367 (transitive reduction — double in EC,
+    single otherwise —, branch clearing in merge iterations, transitive-
+    branch deletions in branch-reduction iterations, DFS back-edge removal
+    outside EC): graph/sr_graph.py;
   final iteration: cliques + read-evidence branch reduction against the
     statistical threshold table (BranchReduction.cpp + min_ev_table.py),
     then singleton cleanup.
@@ -23,8 +28,14 @@ Design deltas from the reference (deliberate, documented):
 - Bayesian per-column phred scoring uses each read's mean error rate over
   the verified match/mismatch counts (per-column phred products degrade to
   this under near-uniform quals);
-- reads are single-end units; paired-end insert constraints enter through
-  the evidence table's PE term (full PE dual-consensus is a later round).
+- paired-end fragments are mate-linked rows: edges touching a paired row
+  need two >= L/2 end-overlaps between the fragments (EdgeCalculator PE
+  admission), cliques pull mates into a dual-consensus superread
+  (SRBuilder PE path), merges operate on whole fragments and collapse
+  them to single contigs when a bridge places both sides in one frame
+  (merge_self_overlap / join_mates), and branch-reduction evidence is
+  unified per fragment. Insert-size statistics additionally enter through
+  the evidence table's PE term.
 """
 
 from __future__ import annotations
@@ -37,6 +48,7 @@ import numpy as np
 
 from hylight_tpu.config import Config, SRCoreConfig
 from hylight_tpu.assembly.evidence import EvidenceThresholds
+from hylight_tpu.graph import sr_graph
 from hylight_tpu.graph.cliques import max_cliques
 from hylight_tpu.io.readset import ReadSet, revcomp_codes
 from hylight_tpu.overlap.engine import find_overlaps
@@ -50,16 +62,30 @@ DEFAULT_PHRED = 30
 
 @dataclass
 class WorkingSet:
-    """Current superreads + provenance of original reads inside them."""
+    """Current superreads + provenance of original reads inside them.
+
+    Paired-end capability (FastqStorage paired1/paired2 + SRBuilder PE dual
+    consensus, ``Read.h:144``, ``SRBuilder.cpp:654-871``): a PE fragment is
+    two mate-linked rows — ``mate[i]`` is the row id of i's other end (-1
+    for single). The pair travels together through cliques and merges and
+    collapses to a single row when its sides are bridged (the reference's
+    merge_self_overlap, ``SRBuilder.cpp:872``)."""
 
     reads: ReadSet
     # per working read: list of (orig_read_id, offset, ori)
     subreads: List[List[Tuple[int, int, int]]] = field(default_factory=list)
+    mate: Optional[np.ndarray] = None   # int64 [n], -1 = single
+
+    def __post_init__(self):
+        if self.mate is None:
+            self.mate = np.full(self.reads.n, -1, dtype=np.int64)
 
     @staticmethod
-    def from_reads(rs: ReadSet) -> "WorkingSet":
+    def from_reads(rs: ReadSet, mate: Optional[np.ndarray] = None
+                   ) -> "WorkingSet":
         return WorkingSet(reads=rs,
-                          subreads=[[(i, 0, 0)] for i in range(rs.n)])
+                          subreads=[[(i, 0, 0)] for i in range(rs.n)],
+                          mate=mate)
 
     @property
     def n(self) -> int:
@@ -98,16 +124,76 @@ def score_edges(table: OverlapTable, rs: ReadSet) -> np.ndarray:
 
 
 def admit_edges(table: OverlapTable, rs: ReadSet, *, min_overlap_len: int,
-                edge_threshold: float, merge_eps: float = 0.0) -> np.ndarray:
+                edge_threshold: float, merge_eps: float = 0.0,
+                mate: Optional[np.ndarray] = None) -> np.ndarray:
     """Admission rule (EdgeCalculator.cpp:404-409): score > threshold OR
-    mismatch_rate <= merge_eps; plus the overlap length gate."""
+    mismatch_rate <= merge_eps; plus the overlap length gate — the full
+    min_overlap_len for single-single overlaps, or the PE rule (two
+    end-overlaps of >= min_overlap_len/2 between the fragments,
+    EdgeCalculator.cpp:612-632) when a paired row is involved."""
     if table.n == 0:
         return np.zeros(0, dtype=bool)
     score = score_edges(table, rs)
     mism_rate = 1.0 - table.identity
-    length_ok = np.minimum(table.qe - table.qs, table.te - table.ts) \
-        >= min_overlap_len
-    return length_ok & ((score > edge_threshold) | (mism_rate <= merge_eps))
+    score_ok = (score > edge_threshold) | (mism_rate <= merge_eps)
+    ovl = np.minimum(table.qe - table.qs, table.te - table.ts)
+    ss_ok = score_ok & (ovl >= min_overlap_len)
+    if mate is None or not (np.asarray(mate) >= 0).any():
+        return ss_ok
+    return _pe_admission(table, score_ok, ss_ok, ovl, mate, min_overlap_len)
+
+
+def mate_from_names(rs: ReadSet) -> np.ndarray:
+    """Mate-row links from '/1' '/2' name suffixes (FastqStorage pairing)."""
+    mate = np.full(rs.n, -1, dtype=np.int64)
+    first: Dict[str, int] = {}
+    for i, nm in enumerate(rs.names or []):
+        if nm.endswith(("/1", "/2")):
+            base = nm[:-2]
+            j = first.pop(base, None)
+            if j is None:
+                first[base] = i
+            else:
+                mate[i], mate[j] = j, i
+    return mate
+
+
+def _pe_admission(table: OverlapTable, score_ok: np.ndarray,
+                  ss_ok: np.ndarray, ovl: np.ndarray, mate: np.ndarray,
+                  min_overlap_len: int) -> np.ndarray:
+    """PE admission (EdgeCalculator.cpp:612-632): an overlap involving a
+    paired read is admitted only when the two fragments share TWO
+    qualifying end-overlaps of >= min_overlap_len/2 each (S-S overlaps keep
+    the full-length rule). Same-fragment rows never form graph edges
+    (self-overlaps are skipped, EdgeCalculator.cpp:605-607; side bridging
+    happens in join_mates instead)."""
+    n = len(mate)
+    rows = np.arange(n, dtype=np.int64)
+    unit = np.where(mate >= 0, np.minimum(rows, mate), rows)
+    qU = unit[table.qid]
+    tU = unit[table.tid]
+    self_unit = qU == tU
+    involves_pe = (mate[table.qid] >= 0) | (mate[table.tid] >= 0)
+    half_ok = score_ok & ~self_unit & (ovl >= min_overlap_len / 2)
+
+    a = np.minimum(qU, tU)
+    b = np.maximum(qU, tU)
+    pairkey = a * n + b
+    uniq, inv = np.unique(pairkey, return_inverse=True)
+    cnt = np.bincount(inv[half_ok], minlength=len(uniq))
+    unit_ok = cnt[inv] >= 2
+    return np.where(involves_pe | self_unit, half_ok & unit_ok, ss_ok)
+
+
+def pe_edge_filter(table: OverlapTable, keep: np.ndarray, mate: np.ndarray,
+                   min_overlap_len: int) -> np.ndarray:
+    """Standalone PE admission over an already-admitted mask (see
+    _pe_admission; used by tests and external callers)."""
+    if table.n == 0 or not (mate >= 0).any():
+        return keep
+    ovl = np.minimum(table.qe - table.qs, table.te - table.ts)
+    return _pe_admission(table, keep, keep & (ovl >= min_overlap_len),
+                         ovl, mate, min_overlap_len)
 
 
 # ---------------------------------------------------------------------------
@@ -256,7 +342,10 @@ def set_orig_lens(rs: ReadSet) -> None:
 
 def _overlaps(ws: WorkingSet, cfg: Config, min_len: int) -> OverlapTable:
     from dataclasses import replace
-    oc = replace(cfg.overlap_sr, min_ovlp_len=min_len)
+    # with PE rows present the engine must emit the >= min_len/2
+    # end-overlaps that the PE admission rule evaluates
+    eff = min_len // 2 if bool((ws.mate >= 0).any()) else min_len
+    oc = replace(cfg.overlap_sr, min_ovlp_len=eff)
     qb = 256 if ws.n > 256 else max(8, ws.n)
     return find_overlaps(ws.reads, cfg=oc, query_block=qb)
 
@@ -285,28 +374,55 @@ def _star_offsets(table, labels, clique: List[int], edge_of: Dict
 def clique_iteration(ws: WorkingSet, cfg: Config, *, min_overlap_len: int,
                      edge_threshold: float, min_clique_size: int,
                      trim: bool, merge_eps: float = 0.0,
-                     thresholds: Optional[EvidenceThresholds] = None
-                     ) -> WorkingSet:
-    """One clique-based iteration (EC when trim=True)."""
+                     thresholds: Optional[EvidenceThresholds] = None,
+                     diploid: bool = False) -> WorkingSet:
+    """One clique-based iteration (EC when trim=True).
+
+    Graph-cleaning schedule mirrors one ViralQuasispecies invocation
+    (``ViralQuasispecies.cpp:297-367`` with polyte's flags,
+    ``polyte.tune_params.py:700-744``): EC iteration removes
+    double-transitive edges and keeps back edges (remove_trans=2,
+    remove_backedges=false); the branch-reduction iteration removes single
+    transitive edges plus shorter-overlap branches around them
+    (remove_trans=1 & branch_reduction>0), then read-evidence branch
+    reduction, then back edges."""
     table = _overlaps(ws, cfg, min_overlap_len)
     admitted = admit_edges(table, ws.reads,
                            min_overlap_len=min_overlap_len,
                            edge_threshold=edge_threshold,
-                           merge_eps=merge_eps)
+                           merge_eps=merge_eps, mate=ws.mate)
     labels, keep = orient_reads(table, ws.n, admitted)
+    keep, _ = sr_graph.clean_graph(
+        table, labels, keep,
+        remove_trans=2 if trim else 1,
+        branch_deletions=thresholds is not None and not trim,
+        remove_branches=False, remove_tips=False,
+        remove_backedges=False)
     if thresholds is not None:
-        keep = branch_reduction(table, ws, labels, keep, thresholds)
+        keep = branch_reduction(table, ws, labels, keep, thresholds,
+                                diploid=diploid)
+    if not trim:  # remove_backedges = !error_correction (VQ :361-367)
+        g = sr_graph.build_digraph(table, labels, keep, ws.n)
+        back = sr_graph.back_edge_mask(g)
+        if back.any():
+            keep = keep.copy()
+            keep[g.eidx[back]] = False
     idx = np.nonzero(keep)[0]
     edge_of = {(int(table.qid[e]), int(table.tid[e])): int(e) for e in idx}
     cliques = max_cliques(
         ws.n, table.qid[idx], table.tid[idx])
     cliques = [c for c in cliques if len(c) >= min_clique_size]
 
-    new_reads: List[np.ndarray] = []
-    new_quals: List[np.ndarray] = []
-    new_subs: List[List[Tuple[int, int, int]]] = []
-    in_clique = np.zeros(ws.n, dtype=bool)
+    out = _SuperreadAccum(ws)
+    offsets_rel = _plus_frame_offsets(table, labels)
     for c in cliques:
+        # skip cliques whose ends were all consumed already: with the graph
+        # over fragment ENDS, the /2-side clique mirrors the /1-side clique
+        # + mate-follow and would duplicate the superread (deviation from
+        # the unit-vertex reference graph, documented in the module
+        # docstring)
+        if out.used[np.asarray(c)].all():
+            continue
         offs = _star_offsets(table, labels, c, edge_of)
         if offs is None:
             continue
@@ -314,68 +430,178 @@ def clique_iteration(ws: WorkingSet, cfg: Config, *, min_overlap_len: int,
                               min_support=min_clique_size, trim=trim)
         if res is None:
             continue
-        seq, qual, subs = res
-        new_reads.append(seq)
-        new_quals.append(qual)
-        new_subs.append(subs)
-        in_clique[c] = True
+        i1 = out.emit(*res)
+        out.used[np.asarray(c)] = True
+        # mate-follow (PE dual consensus, SRBuilder.cpp:654-871): mates of
+        # clique members not themselves in the clique form the second-side
+        # consensus, placed by their own (pos2-equivalent) edges
+        cset = {int(x) for x in c}
+        mates = [int(ws.mate[r]) for r in c
+                 if int(ws.mate[r]) >= 0 and int(ws.mate[r]) not in cset]
+        mates = list(dict.fromkeys(mates))
+        if mates:
+            placed, m_offs = _place_by_edges(mates, edge_of, offsets_rel)
+            if placed:
+                res2 = consensus_group(ws, labels, placed, m_offs,
+                                       min_support=1, trim=False)
+                if res2 is not None:
+                    i2 = out.emit(*res2)
+                    out.link(i1, i2)
+                    out.used[np.asarray(placed)] = True
 
-    # trivial superreads: reads in no clique survive unchanged
-    zero_labels = np.zeros(ws.n, dtype=np.int8)
-    for r in np.nonzero(~in_clique)[0]:
-        s, q = _member_arrays(ws, zero_labels, int(r))
-        new_reads.append(s)
-        new_quals.append(q)
-        new_subs.append(list(ws.subreads[r]))
+    out.emit_trivial()
+    return out.finish("clique_it", extra=f"{len(cliques)} cliques")
 
-    rs = ReadSet.from_seqs(new_reads, quals=new_quals,
-                           names=[str(i) for i in range(len(new_reads))])
-    log.info("[SR::clique_it] %d reads -> %d cliques -> %d superreads",
-             ws.n, len(cliques), rs.n)
-    return WorkingSet(reads=rs, subreads=new_subs)
+
+class _SuperreadAccum:
+    """Accumulates superreads + mate links; copies unused rows through
+    (trivial superreads) preserving their pair links."""
+
+    def __init__(self, ws: WorkingSet):
+        self.ws = ws
+        self.used = np.zeros(ws.n, dtype=bool)
+        self.reads: List[np.ndarray] = []
+        self.quals: List[np.ndarray] = []
+        self.subs: List[List[Tuple[int, int, int]]] = []
+        self.pairs: List[Tuple[int, int]] = []
+        self.old2new = np.full(ws.n, -1, dtype=np.int64)
+
+    def emit(self, seq, qual, subs) -> int:
+        self.reads.append(seq)
+        self.quals.append(qual)
+        self.subs.append(subs)
+        return len(self.reads) - 1
+
+    def link(self, i: int, j: int) -> None:
+        self.pairs.append((i, j))
+
+    def emit_trivial(self) -> None:
+        ws = self.ws
+        zero_labels = np.zeros(ws.n, dtype=np.int8)
+        for r in np.nonzero(~self.used)[0]:
+            s, q = _member_arrays(ws, zero_labels, int(r))
+            self.old2new[r] = self.emit(s, q, list(ws.subreads[r]))
+        # trivial PE rows whose mate also survived keep their link
+        for r in np.nonzero(~self.used)[0]:
+            m = int(ws.mate[r])
+            if m > r and not self.used[m]:
+                self.link(int(self.old2new[r]), int(self.old2new[m]))
+
+    def finish(self, tag: str, extra: str = "") -> WorkingSet:
+        rs = ReadSet.from_seqs(self.reads, quals=self.quals,
+                               names=[str(i) for i in range(len(self.reads))])
+        mate = np.full(rs.n, -1, dtype=np.int64)
+        for i, j in self.pairs:
+            if mate[i] < 0 and mate[j] < 0:
+                mate[i], mate[j] = j, i
+        log.info("[SR::%s] %d reads -> %d superreads (%d paired) %s",
+                 tag, self.ws.n, rs.n, int((mate >= 0).sum()) // 2, extra)
+        return WorkingSet(reads=rs, subreads=self.subs, mate=mate)
+
+
+def _place_by_edges(members: List[int], edge_of: Dict,
+                    offsets_rel: np.ndarray
+                    ) -> Tuple[List[int], List[int]]:
+    """BFS placement of members in a common frame using kept edges among
+    them; members unreachable from the first placed member are dropped."""
+    placed = {members[0]: 0}
+    frontier = [members[0]]
+    rest = set(members[1:])
+    while frontier and rest:
+        nxt = []
+        for a in frontier:
+            for b in list(rest):
+                e = edge_of.get((a, b))
+                if e is not None:
+                    placed[b] = placed[a] + int(offsets_rel[e])
+                elif (e := edge_of.get((b, a))) is not None:
+                    placed[b] = placed[a] - int(offsets_rel[e])
+                else:
+                    continue
+                rest.discard(b)
+                nxt.append(b)
+        frontier = nxt
+    mem = list(placed)
+    return mem, [placed[m] for m in mem]
 
 
 def merge_iteration(ws: WorkingSet, cfg: Config, *, min_overlap_len: int,
-                    edge_threshold: float, merge_eps: float = 0.0
+                    edge_threshold: float, merge_eps: float = 0.0,
+                    remove_branches: bool = True
                     ) -> Tuple[WorkingSet, int]:
-    """Greedy disjoint-edge merging (mergeAlongEdges path)."""
+    """Greedy disjoint-edge merging (mergeAlongEdges path).
+
+    Merge iterations run with cliques=false, which forces
+    remove_branches=true in the driver (``polyte.tune_params.py:704-707``):
+    transitive edges go first, branching nodes are disconnected, and edges
+    crossing branch-free components are deleted before pairing. Pair
+    selection follows getEdgesForMerging (``GraphAlgos.cpp:112-148``):
+    scan nodes in id order, take the node's first unprocessed out-neighbor
+    in sortEdges order (ascending non-overlap length, target-id tiebreak)."""
     table = _overlaps(ws, cfg, min_overlap_len)
     admitted = admit_edges(table, ws.reads,
                            min_overlap_len=min_overlap_len,
                            edge_threshold=edge_threshold,
-                           merge_eps=merge_eps)
+                           merge_eps=merge_eps, mate=ws.mate)
     labels, keep = orient_reads(table, ws.n, admitted)
-    score = score_edges(table, ws.reads)
-    idx = np.nonzero(keep)[0]
-    idx = idx[np.argsort(-score[idx], kind="stable")]
+    keep, _ = sr_graph.clean_graph(
+        table, labels, keep, remove_trans=1,
+        remove_branches=remove_branches, remove_backedges=True)
     offsets_rel = _plus_frame_offsets(table, labels)
 
-    used = np.zeros(ws.n, dtype=bool)
-    new_reads, new_quals, new_subs = [], [], []
+    g = sr_graph.build_digraph(table, labels, keep, ws.n)
+    order = np.lexsort((g.v, g.sortkey, g.u))
+    idx = np.nonzero(keep)[0]
+    edge_of = {(int(table.qid[e]), int(table.tid[e])): int(e) for e in idx}
+    out = _SuperreadAccum(ws)
     n_merged = 0
-    for e in idx:
-        q, t = int(table.qid[e]), int(table.tid[e])
-        if used[q] or used[t]:
+    for j in order:
+        u, v = int(g.u[j]), int(g.v[j])
+        rows = [u, v] + [int(ws.mate[r]) for r in (u, v)
+                         if int(ws.mate[r]) >= 0]
+        rows = list(dict.fromkeys(rows))
+        if out.used[np.asarray(rows)].any():
             continue
-        res = consensus_group(ws, labels, [q, t], [0, int(offsets_rel[e])])
-        if res is None:
+        # place every row of both fragments in one frame where edges allow;
+        # connected groups each become one consensus row. One group =
+        # bridged fragments -> a single superread (the reference's S-P /
+        # P-P gap closure, SRBuilder.cpp:654-871); two groups stay mates.
+        groups: List[Tuple[List[int], List[int]]] = []
+        remaining = list(rows)
+        while remaining:
+            placed, offs = _place_by_edges(remaining, edge_of, offsets_rel)
+            groups.append((placed, offs))
+            remaining = [r for r in remaining if r not in set(placed)]
+        if len(groups[0][0]) < 2:
+            continue  # the primary edge pair could not be placed
+        new_ids = []
+        ok = True
+        emitted = []
+        for mem, offs in groups:
+            res = consensus_group(ws, labels, mem, offs)
+            if res is None:
+                ok = False
+                break
+            emitted.append(res)
+        if not ok:
             continue
-        seq, qual, subs = res
-        new_reads.append(seq)
-        new_quals.append(qual)
-        new_subs.append(subs)
-        used[q] = used[t] = True
+        for res in emitted:
+            new_ids.append(out.emit(*res))
+        # re-link fragments split across groups (one mate slot per row:
+        # first spanning fragment wins)
+        grp_of = {}
+        for gi, (mem, _) in enumerate(groups):
+            for r in mem:
+                grp_of[r] = gi
+        for r in rows:
+            m = int(ws.mate[r])
+            if m >= 0 and m in grp_of and grp_of[r] != grp_of[m]:
+                out.link(new_ids[grp_of[r]], new_ids[grp_of[m]])
+        out.used[np.asarray(rows)] = True
         n_merged += 1
-    zero_labels = np.zeros(ws.n, dtype=np.int8)
-    for r in np.nonzero(~used)[0]:
-        s, q = _member_arrays(ws, zero_labels, int(r))
-        new_reads.append(s)
-        new_quals.append(q)
-        new_subs.append(list(ws.subreads[r]))
-    rs = ReadSet.from_seqs(new_reads, quals=new_quals,
-                           names=[str(i) for i in range(len(new_reads))])
-    log.info("[SR::merge_it] %d reads, %d merges -> %d", ws.n, n_merged, rs.n)
-    return WorkingSet(reads=rs, subreads=new_subs), n_merged
+    out.emit_trivial()
+    nws = out.finish("merge_it", extra=f"{n_merged} merges")
+    return nws, n_merged
 
 
 # ---------------------------------------------------------------------------
@@ -384,80 +610,38 @@ def merge_iteration(ws: WorkingSet, cfg: Config, *, min_overlap_len: int,
 def branch_reduction(table: OverlapTable, ws: WorkingSet,
                      labels: np.ndarray, keep: np.ndarray,
                      thresholds: EvidenceThresholds,
-                     orig: Optional[ReadSet] = None) -> np.ndarray:
-    """Remove out-branch edges lacking unique original-read evidence at the
-    branches' difference positions. Returns updated keep mask."""
+                     orig: Optional[ReadSet] = None,
+                     diploid: bool = False) -> np.ndarray:
+    """Remove branch edges lacking unique original-read evidence at the
+    branches' difference positions (readBasedBranchReduction,
+    BranchReduction.cpp:41-227). Both out-branches (node with >=2
+    out-edges) and in-branches (>=2 in-edges) are evaluated. In diploid
+    mode a two-way branch keeps both edges when each has unique support and
+    the loads differ by at most 0.5x the threshold (typical-double-branch
+    rule, BranchReduction.cpp:1098-1168). Returns updated keep mask."""
     orig_rs = orig if orig is not None else _ORIG_READS
     if orig_rs is None:
         return keep
     offsets_rel = _plus_frame_offsets(table, labels)
     idx = np.nonzero(keep)[0]
     out_edges: Dict[int, List[Tuple[int, int, int]]] = {}
+    in_edges: Dict[int, List[Tuple[int, int, int]]] = {}
     for e in idx:
         q, t = int(table.qid[e]), int(table.tid[e])
         off = int(offsets_rel[e])    # t starts at off in q's frame
         if off > 0:
             out_edges.setdefault(q, []).append((t, off, int(e)))
+            in_edges.setdefault(t, []).append((q, -off, int(e)))
         elif off < 0:
             out_edges.setdefault(t, []).append((q, -off, int(e)))
+            in_edges.setdefault(q, []).append((t, off, int(e)))
 
     drop = set()
-    for u, outs in out_edges.items():
-        if len(outs) < 2:
-            continue
-        seqs = {}
-        for v, off, _e in outs:
-            s, _ = _member_arrays(ws, labels, v)
-            seqs[v] = (off, s)
-        # difference positions (u-frame) over all branch pairs
-        diffs = set()
-        max_dist = 0
-        base_off = min(o for o, _ in seqs.values())
-        for i in range(len(outs)):
-            for j in range(i + 1, len(outs)):
-                (o1, s1), (o2, s2) = seqs[outs[i][0]], seqs[outs[j][0]]
-                lo = max(o1, o2)
-                hi = min(o1 + len(s1), o2 + len(s2))
-                if hi <= lo:
-                    continue
-                a = s1[lo - o1:hi - o1]
-                b = s2[lo - o2:hi - o2]
-                d = np.nonzero((a != b) & (a < 4) & (b < 4))[0] + lo
-                for p in d:
-                    diffs.add(int(p))
-                if len(d):
-                    max_dist = max(max_dist, int(d[-1]) - base_off + 1)
-        if not diffs:
-            continue
-        diffs = sorted(diffs)
-        need = thresholds.min_ev(max_dist)
-        if need <= 0:
-            continue
-        # evidence: original subreads of each branch matching the branch's
-        # bases at every covered diff position (>=1 covered)
-        ev: Dict[int, set] = {}
-        for v, off, _e in outs:
-            _o, s = seqs[v]
-            reads_ev = set()
-            for orig_id, so, sori in ws.subreads[v]:
-                oseq = orig_rs.get(orig_id)
-                if sori:
-                    oseq = revcomp_codes(oseq)
-                a, b = off + so, off + so + len(oseq)
-                covered = [p for p in diffs if a <= p < b]
-                if not covered:
-                    continue
-                if all(oseq[p - a] == s[p - off] for p in covered
-                       if s[p - off] < 4):
-                    reads_ev.add(orig_id)
-            ev[v] = reads_ev
-        # unique evidence: reads supporting >1 branch don't count
-        from collections import Counter
-        cnt = Counter(x for s_ in ev.values() for x in s_)
-        for v, off, e in outs:
-            uniq = sum(1 for x in ev[v] if cnt[x] == 1)
-            if uniq < need:
-                drop.add(e)
+    for hub, branches, is_out in \
+            [(u, o, True) for u, o in out_edges.items()] + \
+            [(v, i, False) for v, i in in_edges.items()]:
+        _reduce_branch(ws, orig_rs, labels, thresholds, drop,
+                       hub, branches, is_out, diploid)
     if drop:
         log.info("[SR::branch_red] removed %d branch edges", len(drop))
         keep = keep.copy()
@@ -465,7 +649,142 @@ def branch_reduction(table: OverlapTable, ws: WorkingSet,
     return keep
 
 
+def _reduce_branch(ws: WorkingSet, orig_rs: ReadSet, labels: np.ndarray,
+                   thresholds: EvidenceThresholds, drop: set,
+                   hub: int, branches: List[Tuple[int, int, int]],
+                   is_out: bool, diploid: bool) -> None:
+    """Evaluate one branching node; add unsupported edges to ``drop``."""
+    if len(branches) < 2:
+        return
+    seqs = {}
+    for v, off, _e in branches:
+        s, _ = _member_arrays(ws, labels, v)
+        seqs[v] = (off, s)
+    # difference positions (hub frame) over all branch pairs; the branch
+    # point is the earliest branch start for out-branches and the hub
+    # start (position 0, branches converging from the left) for in-ones
+    diffs = set()
+    max_dist = 0
+    base_off = min(o for o, _ in seqs.values())
+    for i in range(len(branches)):
+        for j in range(i + 1, len(branches)):
+            (o1, s1), (o2, s2) = seqs[branches[i][0]], seqs[branches[j][0]]
+            lo = max(o1, o2)
+            hi = min(o1 + len(s1), o2 + len(s2))
+            if hi <= lo:
+                continue
+            a = s1[lo - o1:hi - o1]
+            b = s2[lo - o2:hi - o2]
+            d = np.nonzero((a != b) & (a < 4) & (b < 4))[0] + lo
+            for p in d:
+                diffs.add(int(p))
+            if len(d):
+                if is_out:
+                    max_dist = max(max_dist, int(d[-1]) - base_off + 1)
+                else:
+                    max_dist = max(max_dist, 1 - int(d[0]))
+    if not diffs:
+        return
+    diffs = sorted(diffs)
+    need = thresholds.min_ev(max_dist)
+    if need <= 0:
+        return
+    # evidence: original subreads of each branch matching the branch's
+    # bases at every covered diff position (>=1 covered). PE mates are
+    # unified to one FRAGMENT id so a pair counts once and mates
+    # supporting different branches cancel (BranchReduction.cpp:264-321
+    # unifies modulo PE_count).
+    frag = _ORIG_FRAG
+    ev: Dict[int, set] = {}
+    for v, off, _e in branches:
+        _o, s = seqs[v]
+        reads_ev = set()
+        for orig_id, so, sori in ws.subreads[v]:
+            oseq = orig_rs.get(orig_id)
+            if sori:
+                oseq = revcomp_codes(oseq)
+            a, b = off + so, off + so + len(oseq)
+            covered = [p for p in diffs if a <= p < b]
+            if not covered:
+                continue
+            if all(oseq[p - a] == s[p - off] for p in covered
+                   if s[p - off] < 4):
+                reads_ev.add(int(frag[orig_id]) if frag is not None
+                             else orig_id)
+        ev[v] = reads_ev
+    # unique evidence: fragments supporting >1 branch don't count
+    from collections import Counter
+    cnt = Counter(x for s_ in ev.values() for x in s_)
+    uniq = {v: sum(1 for x in ev[v] if cnt[x] == 1) for v, _, _ in branches}
+    if diploid and len(branches) == 2:
+        # typical double branch (BranchReduction.cpp:1098-1168): keep both
+        # edges when both have unique support and their loads differ by at
+        # most 0.5x the threshold; else keep only the best-supported one
+        (v1, _, e1), (v2, _, e2) = branches
+        u1, u2 = uniq[v1], uniq[v2]
+        if u1 > 0 and u2 > 0:
+            if abs(u1 - u2) > 0.5 * need:
+                drop.add(e2 if u1 > u2 else e1)
+            return
+        if u1 > 0 or u2 > 0:
+            drop.add(e2 if u1 > 0 else e1)
+            return
+        drop.add(e1)
+        drop.add(e2)
+        return
+    for v, off, e in branches:
+        if uniq[v] < need:
+            drop.add(e)
+
+
 _ORIG_READS: Optional[ReadSet] = None
+_ORIG_FRAG: Optional[np.ndarray] = None   # orig read id -> PE fragment id
+
+
+# ---------------------------------------------------------------------------
+# mate-side bridging (merge_self_overlap, SRBuilder.cpp:872)
+
+def join_mates(ws: WorkingSet, cfg: Config, min_overlap_len: int,
+               merge_eps: float = 1e-6) -> Tuple[WorkingSet, int]:
+    """Collapse PE superreads whose two sides overlap mismatch-free into a
+    single row (the reference merges self-overlapping PE superreads during
+    construction; here it runs as a pass over the paired rows)."""
+    pr = np.nonzero(ws.mate >= 0)[0]
+    if len(pr) < 2:
+        return ws, 0
+    sub = ws.reads.subset(pr)
+    table = _overlaps(WorkingSet.from_reads(sub), cfg, min_overlap_len)
+    if table.n == 0:
+        return ws, 0
+    gq = pr[table.qid]            # global row ids
+    gt = pr[table.tid]
+    same_unit = ws.mate[gq] == gt
+    ovl = np.minimum(table.qe - table.qs, table.te - table.ts)
+    good = same_unit & (ovl >= min_overlap_len) & \
+        (1.0 - table.identity <= merge_eps)
+    out = _SuperreadAccum(ws)
+    n_joined = 0
+    # best joining overlap per unit, highest score first
+    gidx = np.nonzero(good)[0]
+    for e in gidx[np.argsort(-table.score[gidx], kind="stable")]:
+        a, b = int(gq[e]), int(gt[e])
+        if out.used[a] or out.used[b]:
+            continue
+        labels = np.zeros(ws.n, dtype=np.int8)
+        labels[b] = int(table.strand[e])
+        qs = int(table.qs[e])
+        ts = int(table.tlen[e] - table.te[e]) if table.strand[e] \
+            else int(table.ts[e])
+        res = consensus_group(ws, labels, [a, b], [0, qs - ts])
+        if res is None:
+            continue
+        out.emit(*res)
+        out.used[a] = out.used[b] = True
+        n_joined += 1
+    if n_joined == 0:
+        return ws, 0
+    out.emit_trivial()
+    return out.finish("join_mates", extra=f"{n_joined} joined"), n_joined
 
 
 # ---------------------------------------------------------------------------
@@ -473,49 +792,130 @@ _ORIG_READS: Optional[ReadSet] = None
 
 def sr_assemble(reads: ReadSet, cfg: Config,
                 use_branch_reduction: bool = True) -> ReadSet:
-    """Assemble one read cluster into strain-resolved contigs."""
-    global _ORIG_READS
+    """Assemble one read cluster into strain-resolved contigs.
+
+    Paired-end reads (names ending '/1' '/2') enter as mate-linked rows;
+    pairs travel through cliques/merges together and collapse to single
+    contigs once bridged (join_mates). Final contigs are the single
+    superreads, matching polyte's contigs = singles.fastq
+    (``polyte.tune_params.py:367-369``); if a cluster produced no singles
+    the remaining rows are emitted as-is (defensive deviation)."""
+    global _ORIG_READS, _ORIG_FRAG
     sc: SRCoreConfig = cfg.sr_core
     if reads.n < 2:
         return ReadSet.from_seqs([])
     set_orig_lens(reads)
     _ORIG_READS = reads
-    ws = WorkingSet.from_reads(reads)
+    mate = mate_from_names(reads)
+    rows = np.arange(reads.n, dtype=np.int64)
+    _ORIG_FRAG = np.where(mate >= 0, np.minimum(rows, mate), rows)
+    has_pe = bool((mate >= 0).any())
+    ws = WorkingSet.from_reads(reads, mate=mate)
 
     # iteration 1: clique-based error correction
     ws = clique_iteration(ws, cfg, min_overlap_len=sc.min_overlap_len_ec,
                           edge_threshold=sc.edge_threshold_ec,
                           min_clique_size=sc.min_clique_size, trim=True)
+    if has_pe:
+        ws, _ = join_mates(ws, cfg, sc.min_overlap_len)
 
-    # merge iterations until stable twice (pipeline_per_stage.py:141-159)
-    stable = 0
-    for _ in range(sc.max_iterations):
-        prev = ws.n
-        ws, n_merged = merge_iteration(
-            ws, cfg, min_overlap_len=sc.min_overlap_len,
-            edge_threshold=sc.edge_threshold, merge_eps=1e-4)
-        if ws.n == prev or n_merged == 0:
-            stable += 1
-            if stable >= 2:
-                break
-        else:
-            stable = 0
-
-    # clique + branch-reduction iteration
+    # outer convergence loop (polyte run_savage_assembly :629-650): merge
+    # simple paths until the read count is stable twice, then one clique +
+    # branch-reduction iteration; repeat until nothing changes
     thresholds = EvidenceThresholds.from_config(sc) if use_branch_reduction \
         else None
-    ws = clique_iteration(ws, cfg, min_overlap_len=sc.min_overlap_len,
-                          edge_threshold=sc.edge_threshold,
-                          min_clique_size=2, trim=False, merge_eps=1e-4,
-                          thresholds=thresholds)
+    stable = 0
+    its = 0
+    while stable < 2 and its < sc.max_iterations:
+        while stable < 2 and its < sc.max_iterations:
+            prev = ws.n
+            ws, n_merged = merge_iteration(
+                ws, cfg, min_overlap_len=sc.min_overlap_len,
+                edge_threshold=sc.edge_threshold, merge_eps=1e-4)
+            if has_pe:
+                ws, nj = join_mates(ws, cfg, sc.min_overlap_len)
+                n_merged += nj
+            its += 1
+            stable = stable + 1 if (ws.n == prev or n_merged == 0) else 0
+        prev = ws.n
+        ws = clique_iteration(ws, cfg, min_overlap_len=sc.min_overlap_len,
+                              edge_threshold=sc.edge_threshold,
+                              min_clique_size=2, trim=False, merge_eps=1e-4,
+                              thresholds=thresholds)
+        if has_pe:
+            ws, _ = join_mates(ws, cfg, sc.min_overlap_len)
+        its += 1
+        stable = stable + 1 if ws.n == prev else 0
 
-    # final cleanup: drop never-merged single-read superreads (tips/singletons,
-    # polyte.tune_params.py:669-675)
-    keep = [i for i in range(ws.n) if len(ws.subreads[i]) > 1]
+    # final cleanup: drop never-merged single-read superreads (tips/
+    # singletons, polyte.tune_params.py:669-675) and rows still paired
+    # (contigs = singles.fastq)
+    keep = [i for i in range(ws.n)
+            if len(ws.subreads[i]) > 1 and int(ws.mate[i]) < 0]
+    if not keep:
+        keep = [i for i in range(ws.n) if len(ws.subreads[i]) > 1]
     if keep:
         out = ws.reads.subset(keep)
     else:
         out = ws.reads
     out.names = [f"c{i}" for i in range(out.n)]
     _ORIG_READS = None
+    _ORIG_FRAG = None
+    if sc.diploid and out.n >= 2:
+        out = diploid_stage(out, cfg)
+    return out
+
+
+def diploid_stage(contigs: ReadSet, cfg: Config) -> ReadSet:
+    """Final diploid contig merging (polyte.tune_params.py:371-418): re-run
+    the core over the assembly's contigs with mismatch-rate admission
+    (edge_threshold=1), min_clique_size=2, diploid branch reduction
+    (typical-double-branch rule), and a keep_singletons=max_tip_len length
+    gate on the final output.
+
+    Deviation: the reference's diploid BranchReduction re-reads the
+    ORIGINAL fastq for evidence; contig provenance is not carried across
+    sr_assemble's return, so evidence here comes from the stage's input
+    contigs themselves (documented capability delta)."""
+    global _ORIG_READS
+    sc = cfg.sr_core
+    mol = sc.diploid_overlap_len or sc.min_overlap_len
+    work = contigs
+    if sc.diploid_contig_len:
+        idx = np.nonzero(contigs.lengths >= sc.diploid_contig_len)[0]
+        if len(idx) < 2:
+            return contigs
+        work = contigs.subset(idx)
+    set_orig_lens(work)
+    _ORIG_READS = work
+    ws = WorkingSet.from_reads(work)
+    thresholds = EvidenceThresholds.from_config(sc)
+
+    stable = 0
+    its = 0
+    while stable < 2 and its < sc.max_iterations:
+        prev = ws.n
+        ws = clique_iteration(ws, cfg, min_overlap_len=mol,
+                              edge_threshold=1.0, min_clique_size=2,
+                              trim=False, merge_eps=sc.seq_err,
+                              thresholds=thresholds, diploid=True)
+        its += 1
+        stable = stable + 1 if ws.n == prev else 0
+        while stable < 2 and its < sc.max_iterations:
+            prev = ws.n
+            ws, n_merged = merge_iteration(
+                ws, cfg, min_overlap_len=mol, edge_threshold=1.0,
+                merge_eps=sc.seq_err)
+            its += 1
+            stable = stable + 1 if (ws.n == prev or n_merged == 0) else 0
+
+    # keep_singletons = max_tip_len in the diploid final iteration
+    keep = [i for i in range(ws.n)
+            if len(ws.subreads[i]) > 1
+            or int(ws.reads.lengths[i]) >= sc.max_tip_len]
+    out = ws.reads.subset(keep) if keep else ws.reads
+    out.names = [f"d{i}" for i in range(out.n)]
+    _ORIG_READS = None
+    log.info("[SR::diploid] %d contigs -> %d diploid contigs",
+             contigs.n, out.n)
     return out

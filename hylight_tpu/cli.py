@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="input reads are already error-corrected")
     p.add_argument("--low_q", action="store_true",
                    help="low-quality long reads (more layout rounds)")
+    p.add_argument("--diploid", action="store_true",
+                   help="diploid genome assembly (extra final merge stage "
+                        "with the typical-double-branch evidence rule)")
     return p
 
 
@@ -57,7 +60,8 @@ def config_from_args(a) -> Config:
                             min_coverage=3 if a.low_q else 1),
         cluster=ClusterConfig(max_cluster_size=a.size),
         sr_core=SRCoreConfig(insert_size=a.insert_size,
-                             average_read_len=a.average_read_len),
+                             average_read_len=a.average_read_len,
+                             diploid=a.diploid),
         correct=CorrectConfig(skip=a.corrected),
     )
     return cfg

@@ -37,6 +37,8 @@ class OverlapConfig:
     overhang_ratio: float = 0.8 # Algorithm-5 internal-match test (r in minimap paper)
     max_overhang: int = 1000    # max allowed overhang in bases (Algorithm 5)
     gap_tile: int = 64          # banded-DP tile for inter-anchor gaps
+    max_indel_band: int = 8     # banded-DP half-width for indel-gap verify
+    #                             (0 disables; larger indels use the estimate)
 
 
 @dataclass(frozen=True)
@@ -120,6 +122,11 @@ class SRCoreConfig:
     accuracy: float = 1e-3         # min_ev_table.py binomial tail accuracy
     max_tip_len: int = 150
     max_iterations: int = 20
+    # diploid genome assembly (polyte --diploid, tune_params.py:371-418):
+    # adds a final diploid merge stage with the typical-double-branch rule
+    diploid: bool = False
+    diploid_contig_len: int = 0     # min contig length entering the stage
+    diploid_overlap_len: int = 0    # 0 = use min_overlap_len
 
 
 @dataclass(frozen=True)
