@@ -38,6 +38,8 @@ class Checkpointer:
         if not os.path.exists(p) or not os.path.exists(p + ".done"):
             return None
         log.info("[CK] resuming stage '%s' from %s", name, p)
+        if os.path.getsize(p) == 0:   # a stage may legitimately emit 0 reads
+            return ReadSet.from_seqs([])
         return read_fastx(p)
 
     def save(self, name: str, rs: ReadSet) -> None:

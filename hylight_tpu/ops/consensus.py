@@ -136,11 +136,14 @@ def _polish_round(contigs: ReadSet, reads: ReadSet, *, cfg: OverlapConfig,
         return contigs
     from hylight_tpu.overlap.engine import bucket_len
     nq, nt = reads.n, contigs.n
-    L = bucket_len(int(max(reads.lengths.max(initial=1),
-                           contigs.lengths.max(initial=1))))
-    qs_, qlens = reads.to_padded(max_len=L)
-    ts_, tlens = contigs.to_padded(max_len=L)
-    seqs = jnp.asarray(np.concatenate([qs_, ts_], axis=0))
+    # reads and contigs get SEPARATE padded matrices (150 bp polishing
+    # reads must not inflate to the contig length bucket); the vote kernel
+    # only ever gathers QUERY rows, contigs enter via the flat vote space
+    Lq = bucket_len(int(reads.lengths.max(initial=1)))
+    Lt = bucket_len(int(contigs.lengths.max(initial=1)))
+    qs_, qlens = reads.to_padded(max_len=Lq)
+    ts_, tlens = contigs.to_padded(max_len=Lt)
+    seqs = jnp.asarray(qs_)
     lens = jnp.asarray(np.concatenate([qlens, tlens]))
     t_off_row = nq
 
@@ -152,12 +155,12 @@ def _polish_round(contigs: ReadSet, reads: ReadSet, *, cfg: OverlapConfig,
     t_offsets[nq:] = offsets[:-1]
     t_offsets_d = jnp.asarray(t_offsets)
 
-    mcap = _round_up(int(2 * L / (cfg.w + 1)) + 64, 64)
-    ms_all = minimizers(seqs, lens, k=cfg.k, w=cfg.w, cap=mcap)
-    tm = type(ms_all)(hash=ms_all.hash[t_off_row:], pos=ms_all.pos[t_off_row:],
-                      strand=ms_all.strand[t_off_row:],
-                      count=ms_all.count[t_off_row:])
-    index = seed_mod.build_index(tm, lens[t_off_row:], t_off_row,
+    mcap = _round_up(int(2 * Lq / (cfg.w + 1)) + 64, 64)
+    ms_all = minimizers(seqs, jnp.asarray(qlens), k=cfg.k, w=cfg.w, cap=mcap)
+    mcap_t = _round_up(int(2 * Lt / (cfg.w + 1)) + 64, 64)
+    tm = minimizers(jnp.asarray(ts_), jnp.asarray(tlens), k=cfg.k, w=cfg.w,
+                    cap=mcap_t)
+    index = seed_mod.build_index(tm, jnp.asarray(tlens), t_off_row,
                                  max_occ=cfg.max_occ)
 
     votes = jnp.zeros(T * 4 , dtype=jnp.int32)

@@ -43,7 +43,8 @@ def make_block_fn(cfg: OverlapConfig, *, mcap: int, max_pairs: int,
                                        k=cfg.k, max_mismatch=snp_cap)
         else:
             ext = extend_chains(ch, seqs, k=cfg.k, gap_tile=cfg.gap_tile,
-                                max_mismatch=snp_cap)
+                                max_mismatch=snp_cap,
+                                max_indel_band=cfg.max_indel_band)
         sc = admission_filter(ch, ext, min_len=cfg.min_ovlp_len,
                               min_identity=cfg.min_identity,
                               max_overhang=cfg.max_overhang,

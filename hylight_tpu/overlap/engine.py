@@ -74,43 +74,52 @@ def find_overlaps(reads: ReadSet, targets: Optional[ReadSet] = None, *,
     if nq == 0 or nt == 0:
         return _empty_table(snp_cap)
 
-    # one shared padded matrix; queries first, targets after (ava: same rows)
+    # queries and targets get SEPARATE padded matrices with independent
+    # length buckets — a 150 bp short-read query set against 100 kb contig
+    # targets must not inflate to the contig bucket (ava: one matrix)
     if ava:
-        L = bucket_len(max(1, int(reads.lengths.max())))
-        seqs, lens = reads.to_padded(max_len=L)
+        Lq = bucket_len(max(1, int(reads.lengths.max())))
+        seqs, lens = reads.to_padded(max_len=Lq)
+        seqs_d = jnp.asarray(seqs)
+        lens_d = jnp.asarray(lens)
+        seqs_t_d, tlens_d = seqs_d, lens_d
+        Lt = Lq
         t_off = 0
     else:
-        L = bucket_len(max(1, int(max(reads.lengths.max(initial=1),
-                                      tset.lengths.max(initial=1)))))
-        qs_, qlens = reads.to_padded(max_len=L)
-        ts_, tlens = tset.to_padded(max_len=L)
-        seqs = np.concatenate([qs_, ts_], axis=0)
-        lens = np.concatenate([qlens, tlens])
+        Lq = bucket_len(max(1, int(reads.lengths.max(initial=1))))
+        Lt = bucket_len(max(1, int(tset.lengths.max(initial=1))))
+        qs_, qlens = reads.to_padded(max_len=Lq)
+        ts_, tlens = tset.to_padded(max_len=Lt)
+        seqs_d = jnp.asarray(qs_)
+        lens_d = jnp.asarray(np.concatenate([qlens, tlens]))
+        seqs_t_d = jnp.asarray(ts_)
+        tlens_d = jnp.asarray(tlens)
         t_off = nq
-    seqs_d = jnp.asarray(seqs)
-    lens_d = jnp.asarray(lens)
 
-    # the Pallas verify kernel needs the real MXU/VPU backend; the XLA
-    # gather path is the CPU/interpret fallback
+    # the Pallas diagonal-compare kernel is opt-in: measured on v5e it runs
+    # ~1.6x slower than the XLA gather path at bench scale (whole-tile
+    # rotates per pair x diagonal dominate), and it only supports the
+    # shared-matrix (ava) layout
     if use_pallas is None:
-        import jax
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = False
+    use_pallas = use_pallas and ava
     seqs2_d = None
     if use_pallas:
         from hylight_tpu.ops.pallas_verify import make_seqs2
         seqs2_d = make_seqs2(seqs_d, lens_d)
 
     # minimizer cap from winnowing density 2/(w+1) (+ slack for end rule)
-    mcap = _round_up(int(2 * L / (cfg.w + 1)) + 64, 64)
-    ms_all = minimizers(seqs_d, lens_d, k=cfg.k, w=cfg.w, cap=mcap)
+    mcap = _round_up(int(2 * Lq / (cfg.w + 1)) + 64, 64)
+    ms_all = minimizers(seqs_d, lens_d[:nq] if not ava else lens_d,
+                        k=cfg.k, w=cfg.w, cap=mcap)
 
     # target index over rows [t_off, t_off+nt)
-    tm = type(ms_all)(hash=ms_all.hash[t_off:t_off + nt],
-                      pos=ms_all.pos[t_off:t_off + nt],
-                      strand=ms_all.strand[t_off:t_off + nt],
-                      count=ms_all.count[t_off:t_off + nt])
-    index = seed_mod.build_index(tm, lens_d[t_off:t_off + nt], t_off,
-                                 max_occ=cfg.max_occ)
+    if ava:
+        tm = ms_all
+    else:
+        mcap_t = _round_up(int(2 * Lt / (cfg.w + 1)) + 64, 64)
+        tm = minimizers(seqs_t_d, tlens_d, k=cfg.k, w=cfg.w, cap=mcap_t)
+    index = seed_mod.build_index(tm, tlens_d, t_off, max_occ=cfg.max_occ)
 
     B = min(query_block, nq)
     P = pairs_per_block or _round_up(B * 32, 256)
@@ -150,7 +159,10 @@ def find_overlaps(reads: ReadSet, targets: Optional[ReadSet] = None, *,
                                        max_mismatch=snp_cap)
         else:
             ext = extend_chains(ch, seqs_d, k=cfg.k, gap_tile=cfg.gap_tile,
-                                max_mismatch=snp_cap)
+                                max_mismatch=snp_cap,
+                                max_indel_band=cfg.max_indel_band,
+                                seqs_t=None if ava else seqs_t_d,
+                                toff=t_off)
         sc = admission_filter(
             ch, ext, min_len=cfg.min_ovlp_len, min_identity=cfg.min_identity,
             max_overhang=cfg.max_overhang, overhang_ratio=cfg.overhang_ratio)

@@ -9,10 +9,15 @@ base-level work reduces to verifying the short inter-anchor gaps:
 - equal-size gaps (dq == dt): pure substitution columns — direct vectorized
   base compare gives matches AND the mismatch coordinates the SNP filter
   needs (no CIGAR text ever exists, per SURVEY.md §7.4);
-- unequal gaps: contain indels; their min(gq, gt) columns are counted as
-  unverified and |gq - gt| bases as indels (a banded Pallas DP upgrade can
-  verify these too; for identity-gating purposes the extrapolated estimate
-  below is already well-calibrated for corrected reads);
+- unequal gaps (contain indels): verified by a banded LCS-style DP when the
+  shift |dq-dt| fits the band (``max_indel_band``) and both gap sides fit
+  the gap tile. The DP runs in off-diagonal coordinates: row i holds
+  r[off] = best matches aligning q-gap[:i] with t-gap[:i+off]; the
+  intra-row left-to-right propagation of the LCS recurrence is exactly a
+  cummax over the band axis, so one ``lax.scan`` step is two elementwise
+  maxes plus a W-lane cummax — no scatter, no antidiagonal bookkeeping.
+  Gaps outside the band budget fall back to the calibrated estimate
+  (min(gq, gt) columns unverified, |gq-gt| indel bases);
 - anchor k-mers: exact matches by construction (chain score bases).
 
 Identity estimate: verified-match rate extrapolated over unverified columns,
@@ -28,7 +33,7 @@ cross-strain filter (snp.py).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -67,19 +72,83 @@ def _gather_t(seqs, tid, pos, strand, tlen, in_bounds):
     return jnp.where(in_bounds & (fwd >= 0) & (fwd < seqs.shape[1]), b, 4)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "gap_tile", "max_mismatch"))
+def _banded_gap_matches(qgap: jax.Array, tgap: jax.Array, dmax: int
+                        ) -> jax.Array:
+    """Max matches (banded LCS) between per-link gap strings.
+
+    Args:
+      qgap: uint8 [..., G] query-gap bases, sentinel-padded (>=4) past the
+        real length.
+      tgap: uint8 [..., G] target-gap bases, sentinel-padded with a
+        DIFFERENT sentinel so padding never matches.
+      dmax: band half-width (covers indel shifts |gq-gt| <= dmax).
+
+    Returns int32 [...] match count of the best banded alignment. Both
+    strings being padded to the same length G makes the answer land in the
+    centre lane: LCS(q_pad, t_pad) = LCS(q, t) since sentinels match
+    nothing and LCS charges nothing for indels.
+    """
+    G = qgap.shape[-1]
+    W = 2 * dmax + 1
+    NEG = jnp.int32(-(1 << 28))
+    lead = qgap.shape[:-1]
+
+    # pad t so a [W]-window gather at j = i-1+off is always in range
+    tpad = jnp.pad(tgap, [(0, 0)] * (len(lead)) + [(dmax, dmax + 1)],
+                   constant_values=255)
+    offs = jnp.arange(W, dtype=jnp.int32) - dmax      # off in [-dmax, dmax]
+
+    # r0[off] = 0 for off >= 0 (empty query vs t-prefix), else invalid
+    r0 = jnp.where(offs >= 0, 0, NEG)
+    r0 = jnp.broadcast_to(r0, lead + (W,)).astype(jnp.int32)
+
+    def step(r, i):
+        # i is 1-based row index; a_i = qgap[i-1], b at j = (i-1) + off
+        a_i = jax.lax.dynamic_slice_in_dim(qgap, i - 1, 1, axis=-1)
+        b_w = jax.lax.dynamic_slice_in_dim(tpad, i - 1, W, axis=-1)
+        eq = ((a_i == b_w) & (a_i < 4) & (b_w < 4)).astype(jnp.int32)
+        # m[i-1, j]: same j means off+1 in row i's coordinates
+        up = jnp.concatenate([r[..., 1:],
+                              jnp.full(lead + (1,), NEG, jnp.int32)], -1)
+        base = jnp.maximum(r + eq, up)
+        # j = i + off must be >= 0
+        valid = (jnp.int32(i) + offs) >= 0
+        base = jnp.where(valid, base, NEG)
+        # m[i, j-1] propagation == cummax along the band axis
+        r_new = jax.lax.cummax(base, axis=base.ndim - 1)
+        return r_new, None
+
+    rG, _ = jax.lax.scan(step, r0, jnp.arange(1, G + 1, dtype=jnp.int32))
+    return jnp.maximum(rG[..., dmax], 0)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "gap_tile", "max_mismatch",
+                                              "max_indel_band",
+                                              "max_gap_links"))
 def extend_chains(ch: Chains, seqs: jax.Array, *, k: int, gap_tile: int,
-                  max_mismatch: int) -> Extensions:
+                  max_mismatch: int, max_indel_band: int = 8,
+                  max_gap_links: int = 64,
+                  seqs_t: Optional[jax.Array] = None,
+                  toff=0) -> Extensions:
     """Verify inter-anchor gaps of every chained pair.
 
     Args:
       ch: refined chains (anchors compacted to row prefixes).
-      seqs: uint8 [N_reads, L] global padded forward base matrix; both qid
-        and tid index into it.
+      seqs: uint8 [Nq, Lq] padded forward base matrix for QUERY rows
+        (indexed by qid). When seqs_t is None it also serves the targets.
+      seqs_t: optional uint8 [Nt, Lt] padded matrix for TARGET rows —
+        queries and targets may use different length buckets so a
+        150 bp short-read query set is never padded to a 100 kb contig
+        bucket (row tid - toff indexes seqs_t).
+      toff: global id of seqs_t's row 0.
       k: anchor k-mer length.
       gap_tile: max columns verified per gap (G).
       max_mismatch: static cap S on emitted mismatch events per pair.
     """
+    if seqs_t is None:
+        seqs_t = seqs
+        toff = 0
+    tid_row = jnp.clip(ch.tid - toff, 0, seqs_t.shape[0] - 1)
     P, A = ch.aq.shape
     G, S = gap_tile, max_mismatch
 
@@ -89,18 +158,58 @@ def extend_chains(ch: Chains, seqs: jax.Array, *, k: int, gap_tile: int,
     equal = link & (dq == dt) & (dq > k)
     gap = jnp.where(equal, dq - k, 0)             # equal-gap length
     uneq = link & (dq != dt)
-    unverified = jnp.sum(jnp.where(uneq, jnp.minimum(dq, dt) - jnp.minimum(
+    gq, gt = dq - k, dt - k                        # per-side gap lengths
+    shift = jnp.abs(dq - dt)
+    if max_indel_band > 0:
+        ver_u = uneq & (gq >= 0) & (gt >= 0) & (gq <= G) & (gt <= G) & \
+            (shift <= max_indel_band)
+    else:
+        ver_u = jnp.zeros_like(uneq)
+    est_u = uneq & ~ver_u                          # fall back to estimate
+    unverified = jnp.sum(jnp.where(est_u, jnp.minimum(dq, dt) - jnp.minimum(
         jnp.minimum(dq, dt), k), 0), axis=1) \
         + jnp.sum(jnp.maximum(gap - G, 0), axis=1)
     indels = jnp.sum(jnp.where(uneq, jnp.abs(dq - dt), 0), axis=1)
 
-    # gather the gap columns: [P, A-1, G]
+    # Compact the links that actually need base work to a short prefix:
+    # minimizer anchors sit ~(w+1)/2 bp apart, so with k-mer anchors most
+    # links have NO gap at all (dq <= k) and a dense [P, A-1, G] gather
+    # wastes >4x HBM traffic (measured 411 ms -> the dominant block cost).
+    # Links beyond the budget fall back to the unverified estimate.
+    AG = min(A - 1, max(16, max_gap_links))
+    need = (gap > 0) | ver_u
+    colL = jax.lax.broadcasted_iota(jnp.int32, (P, A - 1), 1)
+    keyL = jnp.where(need, -colL, jnp.int32(-(1 << 30)))
+    topvL, selL = jax.lax.top_k(keyL, AG)       # earliest needy links first
+    sel_okL = topvL > jnp.int32(-(1 << 30))
+
+    def _take(x, fill):
+        v = jnp.take_along_axis(x, selL, axis=1)
+        return jnp.where(sel_okL, v, jnp.asarray(fill, v.dtype))
+
+    aq_s = _take(ch.aq[:, :-1], 0)
+    at_s = _take(ch.at[:, :-1], 0)
+    gap_s = _take(gap, 0)
+    equal_s = sel_okL & _take(equal, False)
+    gq_s = _take(gq, 0)
+    gt_s = _take(gt, 0)
+    ver_s = sel_okL & _take(ver_u, False)
+
+    # budget-overflow accounting: verification that didn't happen becomes
+    # unverified columns (identity stays calibrated, never inflated)
+    tot_eq = jnp.sum(jnp.where(equal, jnp.minimum(gap, G), 0), axis=1)
+    sel_eq = jnp.sum(jnp.where(equal_s, jnp.minimum(gap_s, G), 0), axis=1)
+    tot_uv = jnp.sum(jnp.where(ver_u, jnp.minimum(gq, gt), 0), axis=1)
+    sel_uv = jnp.sum(jnp.where(ver_s, jnp.minimum(gq_s, gt_s), 0), axis=1)
+    unverified = unverified + (tot_eq - sel_eq) + (tot_uv - sel_uv)
+
+    # gather the gap columns: [P, AG, G]
     j = jnp.arange(G, dtype=jnp.int32)[None, None, :]
-    q0 = (ch.aq[:, :-1] + k)[..., None] + j
-    t0 = (ch.at[:, :-1] + k)[..., None] + j
-    incol = (j < jnp.minimum(gap, G)[..., None]) & equal[..., None]
+    q0 = (aq_s + k)[..., None] + j
+    t0 = (at_s + k)[..., None] + j
+    incol = (j < jnp.minimum(gap_s, G)[..., None]) & equal_s[..., None]
     qb = _gather_q(seqs, ch.qid[:, None, None], q0, incol)
-    tb = _gather_t(seqs, ch.tid[:, None, None], t0, ch.strand[:, None],
+    tb = _gather_t(seqs_t, tid_row[:, None, None], t0, ch.strand[:, None],
                    ch.tlen[:, None], incol)
 
     both_acgt = (qb < 4) & (tb < 4) & incol
@@ -109,6 +218,23 @@ def extend_chains(ch: Chains, seqs: jax.Array, *, k: int, gap_tile: int,
 
     ver_cols = ch.score + jnp.sum(both_acgt, axis=(1, 2)).astype(jnp.int32)
     matches = ch.score + jnp.sum(eq, axis=(1, 2)).astype(jnp.int32)
+
+    if max_indel_band > 0:
+        # banded-DP verification of indel gaps: matches from the best
+        # banded alignment of the two gap strings; min(gq, gt) columns
+        # become verified (N columns count as mismatch here), |gq-gt|
+        # stays in the indel term.
+        inq = (j < gq_s[..., None]) & ver_s[..., None]
+        int_ = (j < gt_s[..., None]) & ver_s[..., None]
+        qgap = _gather_q(seqs, ch.qid[:, None, None], q0, inq)
+        tgap = _gather_t(seqs_t, tid_row[:, None, None], t0,
+                         ch.strand[:, None], ch.tlen[:, None], int_)
+        m_u = _banded_gap_matches(qgap, tgap, max_indel_band)   # [P, AG]
+        matches = matches + jnp.sum(
+            jnp.where(ver_s, m_u, 0), axis=1).astype(jnp.int32)
+        ver_cols = ver_cols + jnp.sum(
+            jnp.where(ver_s, jnp.minimum(gq_s, gt_s), 0), axis=1
+        ).astype(jnp.int32)
     # N columns inside equal gaps are neither matched nor mismatched:
     # fold them into unverified
     n_cols = jnp.sum(incol & ~both_acgt, axis=(1, 2)).astype(jnp.int32)
