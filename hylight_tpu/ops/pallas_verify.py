@@ -1,11 +1,11 @@
 """Pallas TPU kernel: per-pair overlap verification by diagonal compare.
 
 Replaces the gather-heavy inner loop of the extend stage: instead of
-gathering [P, A-1, G] scattered gap columns from HBM, each grid step DMAs
-the pair's two read rows into VMEM once and verifies ALL equal-gap columns
-with at most D_MAX vectorized diagonal-shift compares — HBM traffic drops
-from ~P*A*G random bytes to 2 rows per pair, and the compare runs on the
-VPU over full lanes.
+gathering [P, A-1, G] scattered gap columns from HBM, each pair's two read
+rows are row-gathered once (XLA, [P, L]) and the kernel verifies ALL
+equal-gap columns with at most D_MAX vectorized diagonal-shift compares —
+HBM traffic drops from ~P*A*G random bytes to 2 rows per pair, and the
+compare runs on the VPU over full lanes.
 
 Preparation (XLA, cheap): from the chain's anchors, every equal-size
 inter-anchor gap lies on ONE diagonal d = at_i - aq_i; per pair we collect
@@ -13,12 +13,12 @@ the <= D_MAX distinct diagonals and a per-column slot map S[P, L] (which
 diagonal applies at query column x, or -1). Gaps beyond the D_MAX budget are
 counted as unverified (same contract as gap_tile overflow).
 
-Kernel (grid = pairs):
-  qbuf   <- seqs[qrow[p]]           (BlockSpec row via scalar prefetch)
-  tbuf3  <- target row replicated x3 (circular shifts never select wrapped
-            lanes: the slot map only marks columns with in-bounds partners)
-  for j < D_MAX:  compare qbuf vs tbuf3[L - d_j + x], accumulate
-      matches/columns where S == j, mark mismatch columns in a bitmap.
+Kernel (grid = pair tiles):
+  for each pair row i and slot j < D_MAX: compare the query block against
+      pltpu.roll(target_block, d_ij) (whole-tile dynamic lane rotate —
+      wrapped lanes are never selected, the slot map only marks columns
+      with in-bounds partners), accumulate matches/columns where
+      S == j on row i, mark mismatch columns in a bitmap.
 
 Outputs: matches[P], columns[P], mismatch bitmap [P, L] (compacted to event
 lists by the caller with top_k).
@@ -39,57 +39,42 @@ D_MAX = 8
 TILE = 8     # pairs per grid step (TPU blocks need a sublane dim >= 8)
 
 
-def _verify_kernel(qrow_ref, trow_ref, diagsf_ref, slots_ref, seqs_ref,
-                   match_ref, cols_ref, mm_ref, qbuf, tbuf, t3buf, sems):
+def _verify_kernel(diagsf_ref, qseq_ref, tseq_ref, slots_ref,
+                   match_ref, cols_ref, mm_ref):
     L = slots_ref.shape[1]
     p = pl.program_id(0)
 
-    # DMA the TILE pairs' rows from HBM into VMEM (all started up front)
+    # full-tile ops only: Mosaic rejects 1-row slices/stores of 32-bit
+    # tiles (sublane tiling 8) and dynamic rotates of non-32-bit data, so
+    # the whole (TILE, L) block is cast once, rotated whole per (pair,
+    # diagonal), and rows are selected by mask
+    q32 = qseq_ref[:, :].astype(jnp.int32)
+    t32 = tseq_ref[:, :].astype(jnp.int32)
+    slots = slots_ref[:, :].astype(jnp.int32)  # i8 vector cmp unsupported
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TILE, L), 0)
+    rows128 = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 0)
+    mm_acc = jnp.zeros((TILE, L), jnp.int32)
+    m_mat = jnp.zeros((TILE, 128), jnp.int32)
+    c_mat = jnp.zeros((TILE, 128), jnp.int32)
     for i in range(TILE):
-        qr = qrow_ref[p * TILE + i]
-        tr = trow_ref[p * TILE + i]
-        pltpu.make_async_copy(seqs_ref.at[pl.ds(qr, 1), :],
-                              qbuf.at[pl.ds(i, 1), :], sems.at[i]).start()
-        pltpu.make_async_copy(seqs_ref.at[pl.ds(tr, 1), :],
-                              tbuf.at[pl.ds(i, 1), :],
-                              sems.at[TILE + i]).start()
-    for i in range(TILE):
-        qr = qrow_ref[p * TILE + i]
-        tr = trow_ref[p * TILE + i]
-        pltpu.make_async_copy(seqs_ref.at[pl.ds(qr, 1), :],
-                              qbuf.at[pl.ds(i, 1), :], sems.at[i]).wait()
-        pltpu.make_async_copy(seqs_ref.at[pl.ds(tr, 1), :],
-                              tbuf.at[pl.ds(i, 1), :],
-                              sems.at[TILE + i]).wait()
-
-    # triple each target row in scratch so diagonal shifts are dynamic
-    # ref-slices (value-level dynamic_slice has no TPU lowering)
-    for i in range(TILE):
-        t = tbuf[i:i + 1, :]
-        t3buf[i:i + 1, 0:L] = t
-        t3buf[i:i + 1, L:2 * L] = t
-        t3buf[i:i + 1, 2 * L:3 * L] = t
-
-    for i in range(TILE):
-        q = qbuf[i:i + 1, :]
-        slots = slots_ref[i:i + 1, :]
-        mm_acc = jnp.zeros((1, L), jnp.int8)
-        m_acc = jnp.int32(0)
-        c_acc = jnp.int32(0)
+        row_i = rows == i
         for j in range(D_MAX):
             d = diagsf_ref[(p * TILE + i) * D_MAX + j]
-            sel = slots == j
-            tsh = t3buf[i:i + 1, pl.ds(L - d, L)]
-            both = (q < 4) & (tsh < 4)
-            eq = both & (q == tsh)
-            use = sel & both
-            m_acc = m_acc + jnp.sum((use & eq).astype(jnp.int32))
-            c_acc = c_acc + jnp.sum(use.astype(jnp.int32))
-            mm_acc = jnp.where(use & ~eq, jnp.int8(1), mm_acc)
-        # vector stores only in VMEM: broadcast the scalar over the row
-        match_ref[i:i + 1, :] = jnp.full((1, 128), m_acc, jnp.int32)
-        cols_ref[i:i + 1, :] = jnp.full((1, 128), c_acc, jnp.int32)
-        mm_ref[i:i + 1, :] = mm_acc
+            # circular shift by the diagonal (tpu dynamic rotate; wrapped
+            # lanes are never selected — the slot map only marks columns
+            # with in-bounds partners)
+            tsh = pltpu.roll(t32, d, axis=1)
+            both = (q32 < 4) & (tsh < 4)
+            eq = both & (q32 == tsh)
+            use = (slots == j) & row_i & both
+            m_mat = m_mat + jnp.where(
+                rows128 == i, jnp.sum((use & eq).astype(jnp.int32)), 0)
+            c_mat = c_mat + jnp.where(
+                rows128 == i, jnp.sum(use.astype(jnp.int32)), 0)
+            mm_acc = jnp.where(use & ~eq, 1, mm_acc)
+    match_ref[:, :] = m_mat
+    cols_ref[:, :] = c_mat
+    mm_ref[:, :] = mm_acc.astype(jnp.int8)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -109,27 +94,30 @@ def pallas_gap_verify(qrow: jax.Array, trow: jax.Array, diags: jax.Array,
     L = seqs2.shape[1]
     assert P % TILE == 0, f"max_pairs must be a multiple of {TILE}"
 
+    # per-pair row gather in XLA (fast [P, L] HBM row gather) — Mosaic
+    # forbids dynamic single-row DMA slices of tiled int8 memrefs, so the
+    # kernel receives already-gathered, normally-blocked rows
+    qseq = jnp.take(seqs2, qrow, axis=0)
+    tseq = jnp.take(seqs2, trow, axis=0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,          # qrow, trow, diags (flat)
+        num_scalar_prefetch=1,          # diags (flat)
         grid=(P // TILE,),
         in_specs=[
-            pl.BlockSpec((TILE, L), lambda p, qr, tr, df: (p, 0),
+            pl.BlockSpec((TILE, L), lambda p, df: (p, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),         # seqs2 stays in HBM
+            pl.BlockSpec((TILE, L), lambda p, df: (p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, L), lambda p, df: (p, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TILE, 128), lambda p, qr, tr, df: (p, 0),
+            pl.BlockSpec((TILE, 128), lambda p, df: (p, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 128), lambda p, qr, tr, df: (p, 0),
+            pl.BlockSpec((TILE, 128), lambda p, df: (p, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, L), lambda p, qr, tr, df: (p, 0),
+            pl.BlockSpec((TILE, L), lambda p, df: (p, 0),
                          memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((TILE, L), jnp.uint8),
-            pltpu.VMEM((TILE, L), jnp.uint8),
-            pltpu.VMEM((TILE, 3 * L), jnp.uint8),
-            pltpu.SemaphoreType.DMA((2 * TILE,)),
         ],
     )
     matches, cols, mm = pl.pallas_call(
@@ -141,7 +129,7 @@ def pallas_gap_verify(qrow: jax.Array, trow: jax.Array, diags: jax.Array,
             jax.ShapeDtypeStruct((P, L), jnp.int8),
         ],
         interpret=interpret,
-    )(qrow, trow, diags.reshape(-1), slots, seqs2)
+    )(diags.reshape(-1), qseq, tseq, slots)
     return matches[:, 0], cols[:, 0], mm
 
 

@@ -51,3 +51,26 @@ def test_sharded_identity_values_match(rng):
     v = np.array(out["valid"])
     ident = np.array(out["identity"])[v]
     assert (ident > 0.99).all()
+
+
+def test_ring_overlap_matches_single(rng):
+    from hylight_tpu.parallel.sharded_overlap import make_ring_overlap_fn
+
+    seqs, lens = _readmatrix(rng)
+    mesh = make_mesh(8)
+    fn = make_ring_overlap_fn(mesh, CFG, mcap=256, max_pairs=64)
+    seqs_d = jax.device_put(jnp.asarray(seqs), shard_rows(mesh))
+    lens_d = jax.device_put(jnp.asarray(lens), shard_rows(mesh))
+    out, n_valid = fn(seqs_d, lens_d)
+    got = _valid_pairs(out["qid"], out["tid"], out["valid"])
+
+    single = make_block_fn(CFG, mcap=256, max_pairs=512)
+    ch, ext, sc = single(jnp.asarray(seqs), jnp.asarray(lens))
+    want = _valid_pairs(ch.qid, ch.tid, sc.valid)
+
+    assert got == want and len(got) > 0
+    # each unordered pair produced exactly once across the whole ring
+    assert int(n_valid) == len(got)
+    v = np.array(out["valid"])
+    ident = np.array(out["identity"])[v]
+    assert (ident > 0.99).all()
