@@ -156,12 +156,16 @@ def _assemble_clusters(leftover: ReadSet, cfg: Config) -> ReadSet:
             table, n_units, max_size=cfg.cluster.max_cluster_size,
             min_size=max(2, cfg.cluster.min_cluster_size // 2),
             unit_of=units)
-    parts: List[ReadSet] = []
     unit_members: Dict[int, List[int]] = {}
     for i, u in enumerate(units):
         unit_members.setdefault(int(u), []).append(i)
-    n_failed = 0
-    for ci, cl in enumerate(clusters):
+
+    # per-cluster task farm (the reference's generated cmd_polyte.sh +
+    # xargs -P, HyLight.py:241-246): host threads pipeline numpy/graph work
+    # of one cluster with device programs of another; srcore carries all
+    # state in SRContext so assemblies are concurrency-safe
+    def one(ci_cl):
+        ci, cl = ci_cl
         ridx = sorted(r for u in cl for r in unit_members[int(u)])
         sub = leftover.subset(ridx)
         try:
@@ -172,11 +176,21 @@ def _assemble_clusters(leftover: ReadSet, cfg: Config) -> ReadSet:
             # reports missing per-cluster contigs, HyLight.py:250-256)
             log.exception("[P::pipeline] cluster %d assembly failed "
                           "(%d reads); continuing", ci, sub.n)
-            n_failed += 1
-            continue
+            return ci, None
         if contigs.n:
             contigs.names = [f"cl{ci}_{nm}" for nm in contigs.names]
-            parts.append(contigs)
+        return ci, contigs
+
+    workers = max(1, cfg.parallel.cluster_workers)
+    if workers > 1 and len(clusters) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            results = list(ex.map(one, enumerate(clusters)))
+    else:
+        results = [one(x) for x in enumerate(clusters)]
+    results.sort(key=lambda r: r[0])   # deterministic output order
+    n_failed = sum(1 for _, c in results if c is None)
+    parts = [c for _, c in results if c is not None and c.n]
     if n_failed:
         log.warning("[P::pipeline] %d/%d clusters failed", n_failed,
                     len(clusters))

@@ -61,6 +61,27 @@ DEFAULT_PHRED = 30
 
 
 @dataclass
+class SRContext:
+    """Per-assembly original-read context (no module globals: cluster
+    assemblies must be able to run concurrently in a task farm, the
+    HyLight ``xargs -P`` equivalent)."""
+
+    orig: ReadSet                       # the cluster's original reads
+    lens: np.ndarray                    # orig read id -> length
+    frag: Optional[np.ndarray] = None   # orig read id -> PE fragment id
+
+    @staticmethod
+    def from_reads(rs: ReadSet, mate: Optional[np.ndarray] = None
+                   ) -> "SRContext":
+        frag = None
+        if mate is not None and (np.asarray(mate) >= 0).any():
+            rows = np.arange(rs.n, dtype=np.int64)
+            frag = np.where(mate >= 0, np.minimum(rows, mate), rows)
+        return SRContext(orig=rs, lens=rs.lengths.astype(np.int64),
+                         frag=frag)
+
+
+@dataclass
 class WorkingSet:
     """Current superreads + provenance of original reads inside them.
 
@@ -75,17 +96,18 @@ class WorkingSet:
     # per working read: list of (orig_read_id, offset, ori)
     subreads: List[List[Tuple[int, int, int]]] = field(default_factory=list)
     mate: Optional[np.ndarray] = None   # int64 [n], -1 = single
+    ctx: Optional["SRContext"] = None   # original-read context
 
     def __post_init__(self):
         if self.mate is None:
             self.mate = np.full(self.reads.n, -1, dtype=np.int64)
 
     @staticmethod
-    def from_reads(rs: ReadSet, mate: Optional[np.ndarray] = None
-                   ) -> "WorkingSet":
+    def from_reads(rs: ReadSet, mate: Optional[np.ndarray] = None,
+                   ctx: Optional["SRContext"] = None) -> "WorkingSet":
         return WorkingSet(reads=rs,
                           subreads=[[(i, 0, 0)] for i in range(rs.n)],
-                          mate=mate)
+                          mate=mate, ctx=ctx)
 
     @property
     def n(self) -> int:
@@ -324,17 +346,10 @@ def consensus_group(ws: WorkingSet, labels: np.ndarray,
     return cons, newq, subs
 
 
-_ORIG_LENS: Dict[int, int] = {}
-
-
 def _orig_len(ws: WorkingSet, orig: int, ori: int) -> int:
-    return _ORIG_LENS.get(orig, 0)
-
-
-def set_orig_lens(rs: ReadSet) -> None:
-    """Register original read lengths for subread reorientation."""
-    global _ORIG_LENS
-    _ORIG_LENS = {i: int(l) for i, l in enumerate(rs.lengths)}
+    if ws.ctx is None or orig >= len(ws.ctx.lens):
+        return 0
+    return int(ws.ctx.lens[orig])
 
 
 # ---------------------------------------------------------------------------
@@ -496,7 +511,8 @@ class _SuperreadAccum:
                 mate[i], mate[j] = j, i
         log.info("[SR::%s] %d reads -> %d superreads (%d paired) %s",
                  tag, self.ws.n, rs.n, int((mate >= 0).sum()) // 2, extra)
-        return WorkingSet(reads=rs, subreads=self.subs, mate=mate)
+        return WorkingSet(reads=rs, subreads=self.subs, mate=mate,
+                          ctx=self.ws.ctx)
 
 
 def _place_by_edges(members: List[int], edge_of: Dict,
@@ -619,7 +635,8 @@ def branch_reduction(table: OverlapTable, ws: WorkingSet,
     mode a two-way branch keeps both edges when each has unique support and
     the loads differ by at most 0.5x the threshold (typical-double-branch
     rule, BranchReduction.cpp:1098-1168). Returns updated keep mask."""
-    orig_rs = orig if orig is not None else _ORIG_READS
+    orig_rs = orig if orig is not None else \
+        (ws.ctx.orig if ws.ctx is not None else None)
     if orig_rs is None:
         return keep
     offsets_rel = _plus_frame_offsets(table, labels)
@@ -694,7 +711,7 @@ def _reduce_branch(ws: WorkingSet, orig_rs: ReadSet, labels: np.ndarray,
     # unified to one FRAGMENT id so a pair counts once and mates
     # supporting different branches cancel (BranchReduction.cpp:264-321
     # unifies modulo PE_count).
-    frag = _ORIG_FRAG
+    frag = ws.ctx.frag if ws.ctx is not None else None
     ev: Dict[int, set] = {}
     for v, off, _e in branches:
         _o, s = seqs[v]
@@ -735,10 +752,6 @@ def _reduce_branch(ws: WorkingSet, orig_rs: ReadSet, labels: np.ndarray,
     for v, off, e in branches:
         if uniq[v] < need:
             drop.add(e)
-
-
-_ORIG_READS: Optional[ReadSet] = None
-_ORIG_FRAG: Optional[np.ndarray] = None   # orig read id -> PE fragment id
 
 
 # ---------------------------------------------------------------------------
@@ -800,17 +813,13 @@ def sr_assemble(reads: ReadSet, cfg: Config,
     superreads, matching polyte's contigs = singles.fastq
     (``polyte.tune_params.py:367-369``); if a cluster produced no singles
     the remaining rows are emitted as-is (defensive deviation)."""
-    global _ORIG_READS, _ORIG_FRAG
     sc: SRCoreConfig = cfg.sr_core
     if reads.n < 2:
         return ReadSet.from_seqs([])
-    set_orig_lens(reads)
-    _ORIG_READS = reads
     mate = mate_from_names(reads)
-    rows = np.arange(reads.n, dtype=np.int64)
-    _ORIG_FRAG = np.where(mate >= 0, np.minimum(rows, mate), rows)
     has_pe = bool((mate >= 0).any())
-    ws = WorkingSet.from_reads(reads, mate=mate)
+    ws = WorkingSet.from_reads(reads, mate=mate,
+                               ctx=SRContext.from_reads(reads, mate))
 
     # iteration 1: clique-based error correction
     ws = clique_iteration(ws, cfg, min_overlap_len=sc.min_overlap_len_ec,
@@ -859,8 +868,6 @@ def sr_assemble(reads: ReadSet, cfg: Config,
     else:
         out = ws.reads
     out.names = [f"c{i}" for i in range(out.n)]
-    _ORIG_READS = None
-    _ORIG_FRAG = None
     if sc.diploid and out.n >= 2:
         out = diploid_stage(out, cfg)
     return out
@@ -877,7 +884,6 @@ def diploid_stage(contigs: ReadSet, cfg: Config) -> ReadSet:
     ORIGINAL fastq for evidence; contig provenance is not carried across
     sr_assemble's return, so evidence here comes from the stage's input
     contigs themselves (documented capability delta)."""
-    global _ORIG_READS
     sc = cfg.sr_core
     mol = sc.diploid_overlap_len or sc.min_overlap_len
     work = contigs
@@ -886,9 +892,7 @@ def diploid_stage(contigs: ReadSet, cfg: Config) -> ReadSet:
         if len(idx) < 2:
             return contigs
         work = contigs.subset(idx)
-    set_orig_lens(work)
-    _ORIG_READS = work
-    ws = WorkingSet.from_reads(work)
+    ws = WorkingSet.from_reads(work, ctx=SRContext.from_reads(work))
     thresholds = EvidenceThresholds.from_config(sc)
 
     stable = 0
@@ -915,7 +919,6 @@ def diploid_stage(contigs: ReadSet, cfg: Config) -> ReadSet:
             or int(ws.reads.lengths[i]) >= sc.max_tip_len]
     out = ws.reads.subset(keep) if keep else ws.reads
     out.names = [f"d{i}" for i in range(out.n)]
-    _ORIG_READS = None
     log.info("[SR::diploid] %d contigs -> %d diploid contigs",
              contigs.n, out.n)
     return out

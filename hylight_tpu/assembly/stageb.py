@@ -35,8 +35,8 @@ def extend_contigs(contigs: ReadSet, cfg: Config, *,
         return ReadSet.from_seqs([])
     work = contigs.subset(keep)
 
-    srcore.set_orig_lens(work)
-    ws = srcore.WorkingSet.from_reads(work)
+    ws = srcore.WorkingSet.from_reads(
+        work, ctx=srcore.SRContext.from_reads(work))
     stable = 0
     with stage("stage_b"):
         for _ in range(max_iterations):

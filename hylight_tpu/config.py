@@ -164,6 +164,9 @@ class ParallelConfig:
     read_block: int = 256       # reads per padded device block
     # static capacity factors for all_to_all bucket exchange
     bucket_capacity_factor: float = 1.5
+    # host threads for the per-cluster task farm (xargs -P equivalent);
+    # threads overlap host graph work with device programs
+    cluster_workers: int = 4
 
 
 @dataclass(frozen=True)

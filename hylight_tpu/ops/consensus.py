@@ -190,7 +190,8 @@ def _polish_round(contigs: ReadSet, reads: ReadSet, *, cfg: OverlapConfig,
         cand = seed_mod.group_candidates(anchors, lens, bandwidth=64,
                                          min_anchors=cfg.min_anchors,
                                          max_pairs=P,
-                                         anchors_per_pair=cfg.anchors_per_pair)
+                                         anchors_per_pair=cfg.anchors_per_pair,
+                                         row_size=mcap * cfg.max_occ)
         ch = refine_chains(cand, k=cfg.k, min_score=cfg.min_chain_score,
                            max_gap=cfg.max_gap)
         maplen = jnp.maximum(ch.qe - ch.qs, ch.te - ch.ts)

@@ -33,7 +33,8 @@ def make_block_fn(cfg: OverlapConfig, *, mcap: int, max_pairs: int,
         cand = seed_mod.group_candidates(
             anchors, lens.astype(jnp.int32), bandwidth=64,
             min_anchors=cfg.min_anchors,
-            max_pairs=max_pairs, anchors_per_pair=cfg.anchors_per_pair)
+            max_pairs=max_pairs, anchors_per_pair=cfg.anchors_per_pair,
+            row_size=mcap * cfg.max_occ)
         ch = refine_chains(cand, k=cfg.k, min_score=cfg.min_chain_score,
                            max_gap=cfg.max_gap)
         if use_pallas:

@@ -150,7 +150,8 @@ def find_overlaps(reads: ReadSet, targets: Optional[ReadSet] = None, *,
             qm, lo, index, k=cfg.k, max_hits=cfg.max_occ, dedup_self=ava)
         cand = seed_mod.group_candidates(
             anchors, lens_d, bandwidth=64, min_anchors=cfg.min_anchors,
-            max_pairs=P, anchors_per_pair=A)
+            max_pairs=P, anchors_per_pair=A,
+            row_size=mcap * cfg.max_occ)
         ch = refine_chains(cand, k=cfg.k, min_score=cfg.min_chain_score,
                            max_gap=cfg.max_gap)
         if use_pallas:

@@ -166,17 +166,27 @@ def collect_anchors(ms: MinimizerSet, qbase, index: MinimizerIndex, *,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "bandwidth", "min_anchors", "max_pairs", "anchors_per_pair"))
+    "bandwidth", "min_anchors", "max_pairs", "anchors_per_pair",
+    "row_size"))
 def group_candidates(a: Anchors, lens: jax.Array, *, bandwidth: int,
                      min_anchors: int, max_pairs: int,
-                     anchors_per_pair: int) -> Candidates:
+                     anchors_per_pair: int,
+                     row_size: int = 0) -> Candidates:
     """Diagonal-band voting: anchors -> per-pair overlap candidate windows.
 
     lens: int32 [n_rows] global read lengths (indexed by qid/tid).
+    row_size: when > 0, the flat anchor arrays are row-major per query
+      read with this many slots per read (collect_anchors layout) — the
+      big (qid, pair, band) sort then runs SEGMENTED per query row
+      (2 keys over short rows instead of 3 keys over millions), which is
+      substantially cheaper on TPU.
     """
     N = a.qid.shape[0]
     P, A = max_pairs, anchors_per_pair
-    R = max(256, N // 8)       # static cap on candidate runs
+    # static cap on candidate runs: scales with the pair budget, not the
+    # anchor count (N//8 made the run-compaction sort and every run-level
+    # array ~360k entries at bench scale for a few thousand real runs)
+    R = min(max(8 * max_pairs, 4096), N)
 
     diag = a.qpos - a.tpos                       # in [-tlen, qlen]
     band = (diag + jnp.int32(1 << 28)) // bandwidth
@@ -185,8 +195,22 @@ def group_candidates(a: Anchors, lens: jax.Array, *, bandwidth: int,
     pair2 = jnp.where(valid0, a.tid * 2 + a.strand, INT_MAX)
     band = jnp.where(valid0, band, INT_MAX)
 
-    qid, pair2, band, qpos, tpos = jax.lax.sort(
-        (a.qid, pair2, band, a.qpos, a.tpos), num_keys=3, is_stable=True)
+    if row_size > 0 and N % row_size == 0 and N > row_size:
+        rows = N // row_size
+        shape2 = (rows, row_size)
+        p2, b2, q2, qp2, tp2 = jax.lax.sort(
+            (pair2.reshape(shape2), band.reshape(shape2),
+             a.qid.reshape(shape2), a.qpos.reshape(shape2),
+             a.tpos.reshape(shape2)),
+            num_keys=2, is_stable=True, dimension=1)
+        pair2, band, qid = p2.reshape(-1), b2.reshape(-1), q2.reshape(-1)
+        qpos, tpos = qp2.reshape(-1), tp2.reshape(-1)
+        # invalid slots sorted to each row's tail carry qid = INT_MAX
+        qid = jnp.where(pair2 == INT_MAX, INT_MAX, qid)
+    else:
+        qid, pair2, band, qpos, tpos = jax.lax.sort(
+            (a.qid, pair2, band, a.qpos, a.tpos), num_keys=3,
+            is_stable=True)
     valid = qid != INT_MAX
 
     idx = jnp.arange(N, dtype=jnp.int32)

@@ -76,7 +76,8 @@ def make_sharded_overlap_fn(mesh, cfg: OverlapConfig, *, mcap: int,
         cand = seed_mod.group_candidates(
             anchors, lens_g.astype(jnp.int32), bandwidth=64,
             min_anchors=cfg.min_anchors,
-            max_pairs=max_pairs, anchors_per_pair=cfg.anchors_per_pair)
+            max_pairs=max_pairs, anchors_per_pair=cfg.anchors_per_pair,
+            row_size=mcap * cfg.max_occ)
         ch = refine_chains(cand, k=cfg.k, min_score=cfg.min_chain_score,
                            max_gap=cfg.max_gap)
         ext = extend_chains(ch, seqs_g, k=cfg.k, gap_tile=cfg.gap_tile,
@@ -148,7 +149,8 @@ def make_ring_overlap_fn(mesh, cfg: OverlapConfig, *, mcap: int,
             cand = seed_mod.group_candidates(
                 anchors, lens_g, bandwidth=64,
                 min_anchors=cfg.min_anchors,
-                max_pairs=max_pairs, anchors_per_pair=cfg.anchors_per_pair)
+                max_pairs=max_pairs, anchors_per_pair=cfg.anchors_per_pair,
+                row_size=mcap * cfg.max_occ)
             ch = refine_chains(cand, k=cfg.k,
                                min_score=cfg.min_chain_score,
                                max_gap=cfg.max_gap)

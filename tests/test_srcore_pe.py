@@ -106,11 +106,8 @@ def test_diploid_double_branch_keeps_both(rng):
     brB = brA.copy()
     brB[50] = (brB[50] + 1) % 4    # SNP at hub-frame position 150
     rs = ReadSet.from_seqs([hub, brA, brB])
-    ws = srcore.WorkingSet.from_reads(rs)
     # each branch carries itself as evidence (subread = whole contig)
-    srcore.set_orig_lens(rs)
-    srcore._ORIG_READS = rs
-    srcore._ORIG_FRAG = None
+    ws = srcore.WorkingSet.from_reads(rs, ctx=srcore.SRContext.from_reads(rs))
 
     E = 2
     span = np.array([100, 100], np.int32)
@@ -130,4 +127,3 @@ def test_diploid_double_branch_keeps_both(rng):
     kept_dip = srcore.branch_reduction(table, ws, labels, keep.copy(), thr,
                                        diploid=True)
     assert kept_dip.all(), "diploid mode must keep both supported branches"
-    srcore._ORIG_READS = None
