@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--diploid", action="store_true",
                    help="diploid genome assembly (extra final merge stage "
                         "with the typical-double-branch evidence rule)")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="write a JAX profiler trace of the run to DIR "
+                        "(viewable with xprof/tensorboard)")
     return p
 
 
@@ -77,8 +80,17 @@ def main(argv=None) -> int:
     log.info("[CLI] %d long reads, %s short reads", lr.n,
              sr.n if sr else "no")
 
+    prof = None
+    if a.profile:
+        import contextlib
+        import jax
+        prof = contextlib.ExitStack()
+        prof.enter_context(jax.profiler.trace(a.profile))
+        log.info("[CLI] profiling to %s", a.profile)
     out = hybrid_assemble(lr, sr, cfg, corrected=a.corrected,
                           checkpoint_dir=os.path.join(a.outdir, "tmp"))
+    if prof is not None:
+        prof.close()
     write_outputs(out, a.outdir)
     log.info("[CLI] wrote %s: final=%d long=%d short=%d", a.outdir,
              out.final_contigs.n, out.long_contigs.n, out.short_stageb.n)
