@@ -27,7 +27,8 @@ from hylight_tpu.graph.string_graph import (
     cut_tips, overlaps_to_arcs, pop_bubbles, transitive_reduction,
     unitig_seqs, unitigs)
 from hylight_tpu.ops.consensus import polish_contigs
-from hylight_tpu.overlap.engine import find_overlaps
+from hylight_tpu.overlap.engine import (find_overlaps,
+                                        find_overlaps_streamed)
 from hylight_tpu.overlap.snp import snp_filter
 from hylight_tpu.utils import get_logger, stage
 
@@ -84,7 +85,8 @@ def _layout(reads: ReadSet, cfg: Config, *, query_block: int) -> ReadSet:
     """overlaps -> SNP filter -> string graph -> unitig contigs."""
     oc = cfg.overlap
     lay = cfg.layout
-    table = find_overlaps(reads, cfg=oc, query_block=query_block)
+    table = find_overlaps_streamed(reads, cfg=oc, query_block=query_block,
+                                   chunk=cfg.parallel.stream_chunk)
     if table.n:
         keep = snp_filter(table, mc=cfg.snp.mc, max_frac=cfg.snp.max_snp_frac,
                           long_reads=True)
@@ -99,7 +101,8 @@ def _layout(reads: ReadSet, cfg: Config, *, query_block: int) -> ReadSet:
                               min_span=lay.min_span)
         if reads.n < 2:
             return ReadSet.from_seqs([])
-        table = find_overlaps(reads, cfg=oc, query_block=query_block)
+        table = find_overlaps_streamed(reads, cfg=oc, query_block=query_block,
+                                   chunk=cfg.parallel.stream_chunk)
         if table.n == 0:
             return ReadSet.from_seqs([])
     arcs, contained = overlaps_to_arcs(

@@ -33,7 +33,8 @@ from hylight_tpu.assembly.srcore import sr_assemble
 from hylight_tpu.assembly.stageb import extend_contigs
 from hylight_tpu.correct.kmer_correct import correct_reads
 from hylight_tpu.graph.cluster import cluster_reads
-from hylight_tpu.overlap.engine import find_overlaps
+from hylight_tpu.overlap.engine import (find_overlaps,
+                                        find_overlaps_streamed)
 from hylight_tpu.overlap.snp import snp_filter
 from hylight_tpu.utils import get_logger, stage
 
@@ -143,7 +144,9 @@ def _leftover_short_reads(sr: ReadSet, contigs: ReadSet,
 
 def _assemble_clusters(leftover: ReadSet, cfg: Config) -> ReadSet:
     with stage("sr_cluster_overlaps"):
-        table = find_overlaps(leftover, cfg=cfg.overlap_sr, query_block=256)
+        table = find_overlaps_streamed(leftover, cfg=cfg.overlap_sr,
+                                       query_block=256,
+                                       chunk=cfg.parallel.stream_chunk)
         if table.n:
             keep = snp_filter(table, mc=cfg.snp.mc_short,
                               max_frac=cfg.snp.max_snp_frac,

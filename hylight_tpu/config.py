@@ -167,6 +167,10 @@ class ParallelConfig:
     # host threads for the per-cluster task farm (xargs -P equivalent);
     # threads overlap host graph work with device programs
     cluster_workers: int = 4
+    # all-vs-all read sets larger than this stream through chunk pairs so
+    # at most two chunk matrices are device-resident (the reference's
+    # "--nsplit >= 1000 for >5-10 GB inputs" recipe, README.md:120-122)
+    stream_chunk: int = 8192
 
 
 @dataclass(frozen=True)

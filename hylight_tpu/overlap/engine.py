@@ -246,3 +246,58 @@ def _empty_table(snp_cap: int) -> OverlapTable:
         mm_q=z2(np.int32), mm_t=z2(np.int32), mm_qb=z2(np.int8),
         mm_tb=z2(np.int8), mm_mask=z2(bool),
     )
+
+
+def find_overlaps_streamed(reads: ReadSet, *, cfg: OverlapConfig,
+                           chunk: int = 8192, query_block: int = 64,
+                           pairs_per_block: Optional[int] = None,
+                           snp_cap: int = 128,
+                           cap_overlaps: bool = True,
+                           stats: Optional[EngineStats] = None
+                           ) -> OverlapTable:
+    """All-vs-all overlaps for read sets too large for one padded matrix.
+
+    The reference handles >5-10 GB long-read inputs by raising --nsplit so
+    each file chunk fits (README.md:120-122). Here the read set is split
+    into chunks of ``chunk`` reads; chunk pairs (i, i) run the ava path
+    and (i, j<i ordering) the set-vs-set path, so at most two chunk
+    matrices are device-resident at a time. Every unordered read pair is
+    produced by exactly one chunk pair; best-per-pair dedup happens inside
+    each call, the per-read overlap cap is applied globally at the end.
+    """
+    n = reads.n
+    if n <= chunk:
+        return find_overlaps(reads, cfg=cfg, query_block=query_block,
+                             pairs_per_block=pairs_per_block,
+                             snp_cap=snp_cap, cap_overlaps=cap_overlaps,
+                             stats=stats)
+    n_chunks = math.ceil(n / chunk)
+    parts = []
+    for ci in range(n_chunks):
+        lo_i = ci * chunk
+        hi_i = min(lo_i + chunk, n)
+        sub_i = reads.subset(np.arange(lo_i, hi_i))
+        t = find_overlaps(sub_i, cfg=cfg, query_block=query_block,
+                          pairs_per_block=pairs_per_block, snp_cap=snp_cap,
+                          cap_overlaps=False, stats=stats)
+        t.qid += lo_i
+        t.tid += lo_i
+        parts.append(t)
+        for cj in range(ci + 1, n_chunks):
+            lo_j = cj * chunk
+            hi_j = min(lo_j + chunk, n)
+            sub_j = reads.subset(np.arange(lo_j, hi_j))
+            t = find_overlaps(sub_i, targets=sub_j, cfg=cfg,
+                              query_block=query_block,
+                              pairs_per_block=pairs_per_block,
+                              snp_cap=snp_cap, cap_overlaps=False,
+                              stats=stats)
+            t.qid += lo_i
+            t.tid += lo_j
+            parts.append(t)
+    table = OverlapTable.concat(parts)
+    if cap_overlaps and table.n > 0:
+        keep = cap_per_read(table.qid, table.tid, table.score,
+                            cfg.max_overlaps_per_read)
+        table = table.select(keep)
+    return table

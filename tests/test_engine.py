@@ -104,3 +104,24 @@ def test_many_reads_coverage(rng):
         assert (i, i + 1) in p, f"missing neighbour overlap {i},{i+1}"
     # non-overlapping far pairs must be absent
     assert (0, 19) not in p
+
+
+def test_streamed_matches_plain(rng):
+    """find_overlaps_streamed over small chunks == one-shot find_overlaps."""
+    from hylight_tpu.overlap.engine import find_overlaps_streamed
+
+    g = rng.integers(0, 4, size=3000).astype(np.uint8)
+    reads = [g[i * 120:i * 120 + 500] for i in range(20)]
+    rs = ReadSet.from_seqs(reads)
+    t_plain = find_overlaps(rs, cfg=CFG)
+    t_str = find_overlaps_streamed(rs, cfg=CFG, chunk=7)
+
+    def pairset(t):
+        return {(int(q), int(d)) for q, d in zip(t.qid, t.tid)}
+
+    assert pairset(t_str) == pairset(t_plain)
+    # identities agree per pair
+    pl = {(int(q), int(d)): float(i)
+          for q, d, i in zip(t_plain.qid, t_plain.tid, t_plain.identity)}
+    for q, d, i in zip(t_str.qid, t_str.tid, t_str.identity):
+        assert abs(pl[(int(q), int(d))] - float(i)) < 1e-5
