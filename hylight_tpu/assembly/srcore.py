@@ -559,62 +559,87 @@ def merge_iteration(ws: WorkingSet, cfg: Config, *, min_overlap_len: int,
                            min_overlap_len=min_overlap_len,
                            edge_threshold=edge_threshold,
                            merge_eps=merge_eps, mate=ws.mate)
-    labels, keep = orient_reads(table, ws.n, admitted)
+    labels, keep0 = orient_reads(table, ws.n, admitted)
+    offsets_rel = _plus_frame_offsets(table, labels)
+    edge_of = {(int(table.qid[e]), int(table.tid[e])): int(e)
+               for e in np.nonzero(keep0)[0]}
+    out = _SuperreadAccum(ws)
+    n_merged = 0
+
+    def _merge_edge_list(g: sr_graph.DiGraph, order: np.ndarray) -> int:
+        merged = 0
+        for j in order:
+            u, v = int(g.u[j]), int(g.v[j])
+            rows = [u, v] + [int(ws.mate[r]) for r in (u, v)
+                             if int(ws.mate[r]) >= 0]
+            rows = list(dict.fromkeys(rows))
+            if out.used[np.asarray(rows)].any():
+                continue
+            # place every row of both fragments in one frame where edges
+            # allow; connected groups each become one consensus row. One
+            # group = bridged fragments -> a single superread (the
+            # reference's S-P / P-P gap closure, SRBuilder.cpp:654-871);
+            # two groups stay mates.
+            groups: List[Tuple[List[int], List[int]]] = []
+            remaining = list(rows)
+            while remaining:
+                placed, offs = _place_by_edges(remaining, edge_of,
+                                               offsets_rel)
+                groups.append((placed, offs))
+                remaining = [r for r in remaining if r not in set(placed)]
+            if len(groups[0][0]) < 2:
+                continue  # the primary edge pair could not be placed
+            new_ids = []
+            emitted = []
+            for mem, offs in groups:
+                res = consensus_group(ws, labels, mem, offs)
+                if res is None:
+                    emitted = None
+                    break
+                emitted.append(res)
+            if emitted is None:
+                continue
+            for res in emitted:
+                new_ids.append(out.emit(*res))
+            # re-link fragments split across groups (one mate slot per
+            # row: first spanning fragment wins)
+            grp_of = {}
+            for gi, (mem, _) in enumerate(groups):
+                for r in mem:
+                    grp_of[r] = gi
+            for r in rows:
+                m = int(ws.mate[r])
+                if m >= 0 and m in grp_of and grp_of[r] != grp_of[m]:
+                    out.link(new_ids[grp_of[r]], new_ids[grp_of[m]])
+            out.used[np.asarray(rows)] = True
+            merged += 1
+        return merged
+
+    # phase 1 — containment absorption: a mismatch-free row fully inside
+    # another merges into its container BEFORE branch clearing. Overlapping
+    # cliques emit near-duplicate superreads whose parallel edges otherwise
+    # read as branches and freeze the graph (the reference leaves such
+    # duplicates to inclusion-edge merges, which branch clearing starves)
+    ovl_q = (table.qe - table.qs).astype(np.int64)
+    ovl_t = (table.te - table.ts).astype(np.int64)
+    mism_ok = (1.0 - table.identity) <= max(merge_eps, 1e-6)
+    contain = keep0 & mism_ok & ((ovl_q >= table.qlen) |
+                                 (ovl_t >= table.tlen))
+    if contain.any():
+        g_c = sr_graph.build_digraph(table, labels, contain, ws.n)
+        order_c = np.lexsort((g_c.v, g_c.sortkey, g_c.u))
+        n_merged += _merge_edge_list(g_c, order_c)
+
+    # phase 2 — the reference pass: transitive reduction, branch clearing,
+    # back-edge removal, then getEdgesForMerging pairing over what remains
+    keep = keep0 & ~(out.used[table.qid] | out.used[table.tid])
     keep, _ = sr_graph.clean_graph(
         table, labels, keep, remove_trans=1,
         remove_branches=remove_branches, remove_backedges=True)
-    offsets_rel = _plus_frame_offsets(table, labels)
-
     g = sr_graph.build_digraph(table, labels, keep, ws.n)
     order = np.lexsort((g.v, g.sortkey, g.u))
-    idx = np.nonzero(keep)[0]
-    edge_of = {(int(table.qid[e]), int(table.tid[e])): int(e) for e in idx}
-    out = _SuperreadAccum(ws)
-    n_merged = 0
-    for j in order:
-        u, v = int(g.u[j]), int(g.v[j])
-        rows = [u, v] + [int(ws.mate[r]) for r in (u, v)
-                         if int(ws.mate[r]) >= 0]
-        rows = list(dict.fromkeys(rows))
-        if out.used[np.asarray(rows)].any():
-            continue
-        # place every row of both fragments in one frame where edges allow;
-        # connected groups each become one consensus row. One group =
-        # bridged fragments -> a single superread (the reference's S-P /
-        # P-P gap closure, SRBuilder.cpp:654-871); two groups stay mates.
-        groups: List[Tuple[List[int], List[int]]] = []
-        remaining = list(rows)
-        while remaining:
-            placed, offs = _place_by_edges(remaining, edge_of, offsets_rel)
-            groups.append((placed, offs))
-            remaining = [r for r in remaining if r not in set(placed)]
-        if len(groups[0][0]) < 2:
-            continue  # the primary edge pair could not be placed
-        new_ids = []
-        ok = True
-        emitted = []
-        for mem, offs in groups:
-            res = consensus_group(ws, labels, mem, offs)
-            if res is None:
-                ok = False
-                break
-            emitted.append(res)
-        if not ok:
-            continue
-        for res in emitted:
-            new_ids.append(out.emit(*res))
-        # re-link fragments split across groups (one mate slot per row:
-        # first spanning fragment wins)
-        grp_of = {}
-        for gi, (mem, _) in enumerate(groups):
-            for r in mem:
-                grp_of[r] = gi
-        for r in rows:
-            m = int(ws.mate[r])
-            if m >= 0 and m in grp_of and grp_of[r] != grp_of[m]:
-                out.link(new_ids[grp_of[r]], new_ids[grp_of[m]])
-        out.used[np.asarray(rows)] = True
-        n_merged += 1
+    n_merged += _merge_edge_list(g, order)
+
     out.emit_trivial()
     nws = out.finish("merge_it", extra=f"{n_merged} merges")
     return nws, n_merged

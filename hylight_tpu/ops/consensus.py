@@ -160,8 +160,7 @@ def _polish_round(contigs: ReadSet, reads: ReadSet, *, cfg: OverlapConfig,
     mcap_t = _round_up(int(2 * Lt / (cfg.w + 1)) + 64, 64)
     tm = minimizers(jnp.asarray(ts_), jnp.asarray(tlens), k=cfg.k, w=cfg.w,
                     cap=mcap_t)
-    index = seed_mod.build_index(tm, jnp.asarray(tlens), t_off_row,
-                                 max_occ=cfg.max_occ)
+    index = seed_mod.build_index(tm, t_off_row, max_occ=cfg.max_occ)
 
     votes = jnp.zeros(T * 4 , dtype=jnp.int32)
     cov_diff = jnp.zeros(T + 1, dtype=jnp.int32)
@@ -184,14 +183,15 @@ def _polish_round(contigs: ReadSet, reads: ReadSet, *, cfg: OverlapConfig,
                 pos=jnp.pad(qm.pos, ((0, pad), (0, 0)), constant_values=-1),
                 strand=jnp.pad(qm.strand, ((0, pad), (0, 0))),
                 count=jnp.pad(qm.count, (0, pad)))
-        anchors = seed_mod.collect_anchors(qm, lo, index, k=cfg.k,
+        anchors = seed_mod.collect_anchors(qm, lo, index,
                                            max_hits=cfg.max_occ,
                                            dedup_self=False)
         cand = seed_mod.group_candidates(anchors, lens, bandwidth=64,
                                          min_anchors=cfg.min_anchors,
                                          max_pairs=P,
                                          anchors_per_pair=cfg.anchors_per_pair,
-                                         row_size=mcap * cfg.max_occ)
+                                         row_size=mcap * cfg.max_occ,
+                                         k=cfg.k)
         ch = refine_chains(cand, k=cfg.k, min_score=cfg.min_chain_score,
                            max_gap=cfg.max_gap)
         maplen = jnp.maximum(ch.qe - ch.qs, ch.te - ch.ts)

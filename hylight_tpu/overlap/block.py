@@ -26,15 +26,15 @@ def make_block_fn(cfg: OverlapConfig, *, mcap: int, max_pairs: int,
     @jax.jit
     def block_fn(seqs: jax.Array, lens: jax.Array):
         ms = minimizers(seqs, lens, k=cfg.k, w=cfg.w, cap=mcap)
-        index = seed_mod.build_index(ms, lens, 0, max_occ=cfg.max_occ)
-        anchors = seed_mod.collect_anchors(ms, 0, index, k=cfg.k,
+        index = seed_mod.build_index(ms, 0, max_occ=cfg.max_occ)
+        anchors = seed_mod.collect_anchors(ms, 0, index,
                                            max_hits=cfg.max_occ,
                                            dedup_self=True)
         cand = seed_mod.group_candidates(
             anchors, lens.astype(jnp.int32), bandwidth=64,
             min_anchors=cfg.min_anchors,
             max_pairs=max_pairs, anchors_per_pair=cfg.anchors_per_pair,
-            row_size=mcap * cfg.max_occ)
+            row_size=mcap * cfg.max_occ, k=cfg.k)
         ch = refine_chains(cand, k=cfg.k, min_score=cfg.min_chain_score,
                            max_gap=cfg.max_gap)
         if use_pallas:

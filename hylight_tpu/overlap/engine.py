@@ -119,7 +119,7 @@ def find_overlaps(reads: ReadSet, targets: Optional[ReadSet] = None, *,
     else:
         mcap_t = _round_up(int(2 * Lt / (cfg.w + 1)) + 64, 64)
         tm = minimizers(seqs_t_d, tlens_d, k=cfg.k, w=cfg.w, cap=mcap_t)
-    index = seed_mod.build_index(tm, tlens_d, t_off, max_occ=cfg.max_occ)
+    index = seed_mod.build_index(tm, t_off, max_occ=cfg.max_occ)
 
     B = min(query_block, nq)
     P = pairs_per_block or _round_up(B * 32, 256)
@@ -147,11 +147,11 @@ def find_overlaps(reads: ReadSet, targets: Optional[ReadSet] = None, *,
                 count=jnp.pad(qm.count, (0, pad)),
             )
         anchors = seed_mod.collect_anchors(
-            qm, lo, index, k=cfg.k, max_hits=cfg.max_occ, dedup_self=ava)
+            qm, lo, index, max_hits=cfg.max_occ, dedup_self=ava)
         cand = seed_mod.group_candidates(
             anchors, lens_d, bandwidth=64, min_anchors=cfg.min_anchors,
             max_pairs=P, anchors_per_pair=A,
-            row_size=mcap * cfg.max_occ)
+            row_size=mcap * cfg.max_occ, k=cfg.k)
         ch = refine_chains(cand, k=cfg.k, min_score=cfg.min_chain_score,
                            max_gap=cfg.max_gap)
         if use_pallas:

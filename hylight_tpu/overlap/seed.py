@@ -11,8 +11,8 @@ associative scans, which lower poorly on TPU:
    comes from run-length over the sorted array via ``lax.cummax/cummin``.
 2. ``collect_anchors``: binary-search each query minimizer into the sorted
    target hashes and emit up to ``max_hits`` anchors (static [Nq*F] flat
-   arrays). '-'-strand target positions are rebased into the revcomp frame
-   so each pair lives in one coordinate frame.
+   arrays) with RAW forward target positions — the revcomp rebase of
+   '-' strand pairs is deferred to the few winner windows.
 3. ``group_candidates``: sort anchors by (qid, tid/strand, diagonal band);
    contiguous runs vote for one (pair, band); candidate runs are compacted
    EARLY to a small run table where neighbor-band merging and local-max
@@ -38,12 +38,17 @@ UINT_MAX = np.uint32(0xFFFFFFFF)
 
 
 class MinimizerIndex(NamedTuple):
-    """Hash-sorted flat minimizer table for a target read block."""
+    """Hash-sorted flat minimizer table for a target read block.
+
+    Deliberately minimal: no per-entry read length — anchors keep RAW
+    forward target positions through the join and band voting ('-' strand
+    bands use the anti-diagonal qpos + tpos), and the revcomp rebase
+    happens only for the few winner windows in group_candidates. This
+    removes one multi-million-element gather per block."""
 
     hash: jax.Array     # uint32 [Nt] sorted ascending (invalid = UINT_MAX)
     tid2s: jax.Array    # int32  [Nt] tid*2 + strand, or -1 for repeat-masked
     tpos: jax.Array     # int32  [Nt] k-mer start on forward target
-    tlen: jax.Array     # int32  [Nt] length of the target read
 
 
 class Anchors(NamedTuple):
@@ -53,7 +58,7 @@ class Anchors(NamedTuple):
     tid: jax.Array      # int32 global target read id (INT_MAX if invalid)
     strand: jax.Array   # int32 0 = same strand, 1 = query vs revcomp(target)
     qpos: jax.Array     # int32 k-mer start on query
-    tpos: jax.Array     # int32 k-mer start on (possibly revcomp'd) target
+    tpos: jax.Array     # int32 k-mer start on the FORWARD target frame
 
     @property
     def valid(self) -> jax.Array:
@@ -77,7 +82,7 @@ class Candidates(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("max_occ",))
-def build_index(ms: MinimizerSet, lens: jax.Array, base_id, *,
+def build_index(ms: MinimizerSet, base_id, *,
                 max_occ: int) -> MinimizerIndex:
     """Build a hash-sorted index from a target block's minimizers.
 
@@ -92,12 +97,10 @@ def build_index(ms: MinimizerSet, lens: jax.Array, base_id, *,
     tid2s = ((rows + base_id) * 2).astype(jnp.int32).reshape(-1) \
         + ms.strand.astype(jnp.int32).reshape(-1)
     tpos = ms.pos.reshape(-1)
-    tlen = jnp.broadcast_to(lens[:, None].astype(jnp.int32), (B, M)) \
-        .reshape(-1)
 
     iota = jnp.arange(h.shape[0], dtype=jnp.int32)
     h, perm = jax.lax.sort((h, iota), num_keys=1, is_stable=True)
-    tid2s, tpos, tlen = tid2s[perm], tpos[perm], tlen[perm]
+    tid2s, tpos = tid2s[perm], tpos[perm]
 
     # occurrence count via run-length over the sorted hashes; repeat-masked
     # entries get tid2s = -1 (join misses then fall out via the valid mask)
@@ -109,13 +112,16 @@ def build_index(ms: MinimizerSet, lens: jax.Array, base_id, *,
     run_hi = jax.lax.cummin(jnp.where(last, iota, n - 1), reverse=True)
     occ_ok = (run_hi - run_lo + 1) <= max_occ
     tid2s = jnp.where(occ_ok, tid2s, -1)
-    return MinimizerIndex(hash=h, tid2s=tid2s, tpos=tpos, tlen=tlen)
+    return MinimizerIndex(hash=h, tid2s=tid2s, tpos=tpos)
 
 
-@functools.partial(jax.jit, static_argnames=("max_hits", "k", "dedup_self"))
+@functools.partial(jax.jit, static_argnames=("max_hits", "dedup_self"))
 def collect_anchors(ms: MinimizerSet, qbase, index: MinimizerIndex, *,
-                    k: int, max_hits: int, dedup_self: bool) -> Anchors:
+                    max_hits: int, dedup_self: bool) -> Anchors:
     """Join query minimizers against the index -> flat anchors [Nq*F].
+
+    tpos stays in the RAW forward target frame; group_candidates rebases
+    '-' strand winner windows into revcomp coordinates.
 
     dedup_self: when query and target sets are the same (all-vs-all),
     keep only qid < tid so each unordered pair is produced once
@@ -143,12 +149,9 @@ def collect_anchors(ms: MinimizerSet, qbase, index: MinimizerIndex, *,
 
     tid2s = index.tid2s[t_idx]
     tpos = index.tpos[t_idx]
-    tlen = index.tlen[t_idx]
 
     tid = tid2s >> 1
     strand = (qstrand[:, None] != (tid2s & 1)).astype(jnp.int32)
-    # rebase '-' strand anchors into revcomp(target) coordinates
-    tpos_adj = jnp.where(strand == 1, tlen - k - tpos, tpos)
 
     valid = in_range & (tid2s >= 0) & qvalid[:, None]
     if dedup_self:
@@ -161,17 +164,17 @@ def collect_anchors(ms: MinimizerSet, qbase, index: MinimizerIndex, *,
         tid=jnp.where(valid, tid, INT_MAX).reshape(-1),
         strand=jnp.where(valid, strand, 0).reshape(-1),
         qpos=jnp.broadcast_to(qpos[:, None], (Nq, F)).reshape(-1),
-        tpos=tpos_adj.reshape(-1),
+        tpos=tpos.reshape(-1),
     )
 
 
 @functools.partial(jax.jit, static_argnames=(
     "bandwidth", "min_anchors", "max_pairs", "anchors_per_pair",
-    "row_size"))
+    "row_size", "k"))
 def group_candidates(a: Anchors, lens: jax.Array, *, bandwidth: int,
                      min_anchors: int, max_pairs: int,
                      anchors_per_pair: int,
-                     row_size: int = 0) -> Candidates:
+                     row_size: int = 0, k: int = 0) -> Candidates:
     """Diagonal-band voting: anchors -> per-pair overlap candidate windows.
 
     lens: int32 [n_rows] global read lengths (indexed by qid/tid).
@@ -188,7 +191,9 @@ def group_candidates(a: Anchors, lens: jax.Array, *, bandwidth: int,
     # array ~360k entries at bench scale for a few thousand real runs)
     R = min(max(8 * max_pairs, 4096), N)
 
-    diag = a.qpos - a.tpos                       # in [-tlen, qlen]
+    # '+' pairs band on the diagonal qpos - tpos; '-' pairs keep RAW
+    # forward tpos, where the invariant is the ANTI-diagonal qpos + tpos
+    diag = jnp.where(a.strand == 1, a.qpos + a.tpos, a.qpos - a.tpos)
     band = (diag + jnp.int32(1 << 28)) // bandwidth
     valid0 = a.qid != INT_MAX
     # (tid*2+strand only computed for valid anchors: INT_MAX*2 overflows)
@@ -288,23 +293,27 @@ def group_candidates(a: Anchors, lens: jax.Array, *, bandwidth: int,
 
     # anchor windows: runs longer than A are stride-subsampled across their
     # FULL span so the overlap extent (and identity sampling) stays unbiased
+    c_tid = jnp.where(c_valid, c_pair2 // 2, INT_MAX)
+    qlen = jnp.where(c_valid, lens[jnp.where(c_valid, c_qid, 0)], 0) \
+        .astype(jnp.int32)
+    tlen = jnp.where(c_valid, lens[jnp.where(c_valid, c_tid, 0)], 0) \
+        .astype(jnp.int32)
+
     ar = jnp.arange(A, dtype=jnp.int32)[None, :]
     offs = (ar * c_full[:, None]) // jnp.maximum(c_len[:, None], 1)
     gi = jnp.minimum(c_start[:, None] + offs, N - 1)
     amask = (ar < c_len[:, None]) & c_valid[:, None]
     aq = jnp.where(amask, qpos[gi], INT_MAX)
     at = jnp.where(amask, tpos[gi], INT_MAX)
+    # rebase '-' strand winner windows into revcomp(target) coordinates
+    # (deferred from collect_anchors: P*A winner slots instead of Nq*F)
+    minus = (c_pair2 % 2)[:, None] == 1
+    at = jnp.where(amask & minus, tlen[:, None] - k - at, at)
     # window rows are sorted by (band, qpos); re-sort by qpos then tpos
     aq, at, amaski = jax.lax.sort(
         (aq, at, amask.astype(jnp.int32)), num_keys=2, is_stable=True,
         dimension=1)
     amask = amaski.astype(jnp.bool_)
-
-    c_tid = jnp.where(c_valid, c_pair2 // 2, INT_MAX)
-    qlen = jnp.where(c_valid, lens[jnp.where(c_valid, c_qid, 0)], 0) \
-        .astype(jnp.int32)
-    tlen = jnp.where(c_valid, lens[jnp.where(c_valid, c_tid, 0)], 0) \
-        .astype(jnp.int32)
     return Candidates(
         qid=c_qid,
         tid=c_tid,

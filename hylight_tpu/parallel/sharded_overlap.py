@@ -69,15 +69,15 @@ def make_sharded_overlap_fn(mesh, cfg: OverlapConfig, *, mcap: int,
         lens_g = gather(lens_l)
         seqs_g = gather(seqs_l)
 
-        index = seed_mod.build_index(ms_g, lens_g, 0, max_occ=cfg.max_occ)
+        index = seed_mod.build_index(ms_g, 0, max_occ=cfg.max_occ)
         anchors = seed_mod.collect_anchors(ms_l, qbase, index,
-                                           k=cfg.k, max_hits=cfg.max_occ,
+                                           max_hits=cfg.max_occ,
                                            dedup_self=True)
         cand = seed_mod.group_candidates(
             anchors, lens_g.astype(jnp.int32), bandwidth=64,
             min_anchors=cfg.min_anchors,
             max_pairs=max_pairs, anchors_per_pair=cfg.anchors_per_pair,
-            row_size=mcap * cfg.max_occ)
+            row_size=mcap * cfg.max_occ, k=cfg.k)
         ch = refine_chains(cand, k=cfg.k, min_score=cfg.min_chain_score,
                            max_gap=cfg.max_gap)
         ext = extend_chains(ch, seqs_g, k=cfg.k, gap_tile=cfg.gap_tile,
@@ -140,17 +140,16 @@ def make_ring_overlap_fn(mesh, cfg: OverlapConfig, *, mcap: int,
             seqs_v, lens_v, h_v, p_v, st_v, c_v = carry
             vbase = (((me + s) % nd) * n_loc).astype(jnp.int32)
             ms_v = MinimizerSet(hash=h_v, pos=p_v, strand=st_v, count=c_v)
-            index = seed_mod.build_index(ms_v, lens_v, vbase,
+            index = seed_mod.build_index(ms_v, vbase,
                                          max_occ=cfg.max_occ)
             anchors = seed_mod.collect_anchors(ms_l, qbase, index,
-                                               k=cfg.k,
                                                max_hits=cfg.max_occ,
                                                dedup_self=True)
             cand = seed_mod.group_candidates(
                 anchors, lens_g, bandwidth=64,
                 min_anchors=cfg.min_anchors,
                 max_pairs=max_pairs, anchors_per_pair=cfg.anchors_per_pair,
-                row_size=mcap * cfg.max_occ)
+                row_size=mcap * cfg.max_occ, k=cfg.k)
             ch = refine_chains(cand, k=cfg.k,
                                min_score=cfg.min_chain_score,
                                max_gap=cfg.max_gap)

@@ -12,13 +12,14 @@ def _candidates(seqs, dedup_self=True, min_anchors=4, bandwidth=64):
     padded, lens = rs.to_padded()
     cap = max(64, (padded.shape[1] * 2) // (W + 1) + 32)
     ms = minimizers(padded, lens, k=K, w=W, cap=cap)
-    idx = build_index(ms, lens, 0, max_occ=16)
-    anchors = collect_anchors(ms, 0, idx, k=K, max_hits=16,
+    idx = build_index(ms, 0, max_occ=16)
+    anchors = collect_anchors(ms, 0, idx, max_hits=16,
                               dedup_self=dedup_self)
     import jax.numpy as jnp
     return group_candidates(anchors, jnp.asarray(lens), bandwidth=bandwidth,
                             min_anchors=min_anchors, max_pairs=64,
-                            anchors_per_pair=128)
+                            anchors_per_pair=128, k=K,
+                            row_size=cap * 16)
 
 
 def _valid_pairs(c):
