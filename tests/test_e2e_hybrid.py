@@ -113,6 +113,31 @@ def test_sr_clusters_assemble_right_region(outputs):
     assert ident > 0.99
 
 
+def test_both_strains_recovered(outputs):
+    """HyLight's whole point is strain separation: the SR stage must emit at
+    least one contig per strain, each matching ITS strain near-perfectly and
+    matching the other strain strictly worse (the SNPs every 150 bp force
+    ~0.993 cross-strain identity at best). Guards against collapsing the two
+    strains into one consensus (reference behavior: BranchReduction.cpp:41,
+    prpare_mutation2 filter_overlap_slr2.py:289)."""
+    out, genome, genomeB = outputs
+    refsA = [genome[11000:]]
+    refsB = [genomeB[11000:]]
+    got_a = got_b = False
+    for i in range(out.short_stageb.n):
+        c = out.short_stageb.get(i)
+        if len(c) < 600:
+            continue
+        ia = _best_identity(c, refsA)
+        ib = _best_identity(c, refsB)
+        if ia > 0.998 and ia > ib:
+            got_a = True
+        if ib > 0.998 and ib > ia:
+            got_b = True
+    assert got_a, "no contig assembled for strain A"
+    assert got_b, "no contig assembled for strain B (strains collapsed?)"
+
+
 def test_final_contigs_cover_both_regions(outputs):
     out, genome, genomeB = outputs
     assert out.final_contigs.n >= 1

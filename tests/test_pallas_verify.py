@@ -33,8 +33,8 @@ def _chains(rng, n=8, glen=2400, snps=()):
     seqs = jnp.asarray(seqs)
     lens = jnp.asarray(lens)
     ms = minimizers(seqs, lens, k=CFG.k, w=CFG.w, cap=256)
-    idx = sm.build_index(ms, lens, 0, max_occ=CFG.max_occ)
-    an = sm.collect_anchors(ms, 0, idx, k=CFG.k, max_hits=CFG.max_occ,
+    idx = sm.build_index(ms, 0, max_occ=CFG.max_occ)
+    an = sm.collect_anchors(ms, 0, idx, max_hits=CFG.max_occ,
                             dedup_self=True)
     ch = refine_chains(
         sm.group_candidates(an, lens, bandwidth=64, min_anchors=4,
