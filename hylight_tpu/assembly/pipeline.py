@@ -76,7 +76,7 @@ def hybrid_assemble(lr: ReadSet, sr: Optional[ReadSet], cfg: Config, *,
                 sr = cached
             else:
                 with stage("correct_sr"):
-                    sr = correct_reads(sr, k=min(cfg.correct.sr_k, 15),
+                    sr = correct_reads(sr, k=cfg.correct.sr_k,
                                        min_count=cfg.correct.sr_min_count)
                 ck.save("corrected_sr", sr)
             cached = ck.load("corrected_lr")
@@ -85,7 +85,7 @@ def hybrid_assemble(lr: ReadSet, sr: Optional[ReadSet], cfg: Config, *,
             else:
                 with stage("correct_lr"):
                     lr = correct_reads(lr, spectrum_reads=sr,
-                                       k=min(cfg.correct.lr_k, 15),
+                                       k=cfg.correct.lr_k,
                                        min_count=cfg.correct.sr_min_count,
                                        rounds=cfg.correct.lr_rounds)
                 ck.save("corrected_lr", lr)

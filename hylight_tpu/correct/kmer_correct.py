@@ -4,8 +4,13 @@ The reference shells out to ``bfc -s 3g`` for short reads (``HyLight.py:87``)
 and ``ropebwt2 + fmlrc2-convert + fmlrc2 x3`` for long reads
 (``HyLight.py:106-110``). TPU-native replacement:
 
-- spectrum: exact canonical k-mer (k <= 16 -> uint32 code, NOT hashed)
-  counting over the short-read set via one device sort + run-length pass;
+- spectrum: exact canonical k-mer counting (k <= 32; codes are held as two
+  uint32 lanes on device — JAX x64 stays off — and combined to exact uint64
+  on host) over the short-read set via one device pass + host unique;
+- membership on device: the solid set is stored as a sorted uint32 hash
+  table (h1 sorted, h2 companion); a query is present iff one of the F
+  slots at searchsorted(h1) matches both 32-bit hashes. False positives are
+  ~|S|/2^64 — far below bfc's own Bloom-filter rate;
 - correction: for every read position whose covering k-mers include a weak
   one, try the 3 substitutions; a substitution is applied when it turns all
   covering k-mers solid while the original base leaves a weak one (the
@@ -13,14 +18,14 @@ and ``ropebwt2 + fmlrc2-convert + fmlrc2 x3`` for long reads
   rounds re-apply the sweep with the fixed bases).
 
 Substitution-only: indel repair is left to the downstream consensus/polish
-stages (documented deviation from fmlrc2; SR polishing of LR contigs covers
-the same role in this pipeline).
+stages (now indel-capable, see ``ops/consensus.py``); this matches bfc's
+substitution-only model for short reads, while long-read indels are fixed by
+the polish rounds rather than here (documented deviation from fmlrc2).
 """
 
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional, Tuple
 
 import jax
@@ -33,113 +38,174 @@ from hylight_tpu.utils import get_logger
 
 log = get_logger()
 
+_LOOKUP_F = 4  # consecutive h1 slots probed per membership query
 
-def _kmer_codes(seqs: jax.Array, lens: jax.Array, k: int):
-    """Canonical k-mer codes per position: uint32 [B, L-k+1] + valid mask."""
+
+def _mix32(x, c1, c2):
+    """32-bit avalanche mix (murmur3 finalizer family); works for both
+    jnp uint32 arrays and np uint32 arrays."""
+    x = x ^ (x >> 16)
+    x = x * c1
+    x = x ^ (x >> 13)
+    x = x * c2
+    x = x ^ (x >> 16)
+    return x
+
+
+def _hash_pair(hi, lo, xp=jnp):
+    """Two independent 32-bit hashes of a (hi, lo) uint32 code pair."""
+    u32 = xp.uint32
+    h1 = _mix32(lo ^ _mix32(hi, u32(0x85EBCA6B), u32(0xC2B2AE35)),
+                u32(0xCC9E2D51), u32(0x1B873593))
+    h2 = _mix32(hi ^ _mix32(lo, u32(0x27D4EB2F), u32(0x165667B1)),
+                u32(0x9E3779B9), u32(0x85EBCA77))
+    return h1, h2
+
+
+def _kmer_lanes(seqs: jax.Array, lens: jax.Array, k: int):
+    """Forward/RC k-mer codes per position as uint32 lane pairs.
+
+    Returns (f_hi, f_lo, r_hi, r_lo, valid): digit d of the 2k-bit code
+    lives in lo bits [2d, 2d+2) for d < 16, else in hi bits [2(d-16), ...).
+    Forward digit d = k-1-j holds base j; RC digit d = j holds 3-base[j].
+    """
     B, L = seqs.shape
     Lk = L - k + 1
-    acc_f = jnp.zeros((B, Lk), jnp.uint32)
-    acc_r = jnp.zeros((B, Lk), jnp.uint32)
+    f_hi = jnp.zeros((B, Lk), jnp.uint32)
+    f_lo = jnp.zeros((B, Lk), jnp.uint32)
+    r_hi = jnp.zeros((B, Lk), jnp.uint32)
+    r_lo = jnp.zeros((B, Lk), jnp.uint32)
     has_n = jnp.zeros((B, Lk), jnp.bool_)
     for j in range(k):
         base = jax.lax.slice(seqs, (0, j), (B, j + Lk)).astype(jnp.uint32)
         is_n = base >= 4
         b = jnp.where(is_n, 0, base)
-        acc_f = (acc_f << 2) | b
-        acc_r = acc_r | ((jnp.uint32(3) - b) << jnp.uint32(2 * j))
+        df = k - 1 - j
+        if df < 16:
+            f_lo = f_lo | (b << jnp.uint32(2 * df))
+        else:
+            f_hi = f_hi | (b << jnp.uint32(2 * (df - 16)))
+        rb = jnp.uint32(3) - b
+        if j < 16:
+            r_lo = r_lo | (rb << jnp.uint32(2 * j))
+        else:
+            r_hi = r_hi | (rb << jnp.uint32(2 * (j - 16)))
         has_n = has_n | is_n
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, Lk), 1)
     valid = (~has_n) & (pos + k <= lens[:, None])
-    canon = jnp.minimum(acc_f, acc_r)
-    return canon, valid
+    return f_hi, f_lo, r_hi, r_lo, valid
+
+
+def _canon(f_hi, f_lo, r_hi, r_lo):
+    fwd_lt = (f_hi < r_hi) | ((f_hi == r_hi) & (f_lo <= r_lo))
+    hi = jnp.where(fwd_lt, f_hi, r_hi)
+    lo = jnp.where(fwd_lt, f_lo, r_lo)
+    return hi, lo
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def _collect_codes(seqs, lens, *, k):
-    canon, valid = _kmer_codes(seqs, lens, k)
-    return jnp.where(valid, canon, jnp.uint32(0xFFFFFFFF)).reshape(-1)
+def _collect_lanes(seqs, lens, *, k):
+    f_hi, f_lo, r_hi, r_lo, valid = _kmer_lanes(seqs, lens, k)
+    hi, lo = _canon(f_hi, f_lo, r_hi, r_lo)
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    return (jnp.where(valid, hi, sentinel).reshape(-1),
+            jnp.where(valid, lo, sentinel).reshape(-1))
 
 
 def build_spectrum(reads: ReadSet, *, k: int, min_count: int,
                    block: int = 4096) -> Tuple[np.ndarray, np.ndarray]:
-    """Returns (sorted unique solid k-mer codes, their counts)."""
+    """Returns (sorted unique solid k-mer codes as uint64, their counts)."""
+    assert k <= 32, "k-mer codes are 2k <= 64 bits"
     L = bucket_len(int(reads.lengths.max(initial=1)))
     all_codes = []
-    for lo in range(0, reads.n, block):
-        sub = reads.subset(np.arange(lo, min(lo + block, reads.n)))
+    for lo_i in range(0, reads.n, block):
+        sub = reads.subset(np.arange(lo_i, min(lo_i + block, reads.n)))
         seqs, lens = sub.to_padded(max_len=L)
-        codes = np.asarray(_collect_codes(jnp.asarray(seqs),
-                                          jnp.asarray(lens), k=k))
-        all_codes.append(codes[codes != 0xFFFFFFFF])
+        hi, lo = _collect_lanes(jnp.asarray(seqs), jnp.asarray(lens), k=k)
+        hi = np.asarray(hi).astype(np.uint64)
+        lo = np.asarray(lo).astype(np.uint64)
+        u64 = (hi << np.uint64(32)) | lo
+        all_codes.append(u64[u64 != np.uint64(0xFFFFFFFFFFFFFFFF)])
     if not all_codes:
-        return np.zeros(0, np.uint32), np.zeros(0, np.int64)
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
     codes = np.concatenate(all_codes)
     uniq, counts = np.unique(codes, return_counts=True)
     solid = counts >= min_count
     log.info("[K::spectrum] %d kmers, %d solid (>=%d)", len(uniq),
              int(solid.sum()), min_count)
-    return uniq[solid].astype(np.uint32), counts[solid]
+    return uniq[solid], counts[solid]
+
+
+def spectrum_tables(solid_u64: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Hash the solid set into device lookup tables (h1 sorted asc, h2)."""
+    hi = (solid_u64 >> np.uint64(32)).astype(np.uint32)
+    lo = solid_u64.astype(np.uint32)
+    h1, h2 = _hash_pair(hi, lo, xp=np)
+    order = np.argsort(h1, kind="stable")
+    return np.ascontiguousarray(h1[order]), np.ascontiguousarray(h2[order])
+
+
+def _member(h1s, h2s, q_hi, q_lo):
+    """Membership of (hi, lo) code pairs in the hashed solid set."""
+    q1, q2 = _hash_pair(q_hi, q_lo)
+    shape = q1.shape
+    q1f = q1.reshape(-1)
+    q2f = q2.reshape(-1)
+    pos = jnp.searchsorted(h1s, q1f, side="left", method="sort")
+    hit = jnp.zeros(q1f.shape, jnp.bool_)
+    n = h1s.shape[0]
+    for f in range(_LOOKUP_F):
+        idx = jnp.minimum(pos + f, n - 1)
+        hit = hit | ((h1s[idx] == q1f) & (h2s[idx] == q2f))
+    return hit.reshape(shape)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def _correct_block(seqs, lens, solid_sorted, *, k):
+def _correct_block(seqs, lens, h1s, h2s, *, k):
     """One correction sweep. Returns corrected seqs (uint8 [B, L])."""
     B, L = seqs.shape
     Lk = L - k + 1
 
-    def solidity(sq):
-        canon, valid = _kmer_codes(sq, lens, k)
-        idx = jnp.searchsorted(solid_sorted, canon, method="sort")
-        idx = jnp.clip(idx, 0, solid_sorted.shape[0] - 1)
-        hit = (solid_sorted[idx] == canon) & (solid_sorted.shape[0] > 0)
-        # invalid (N / out of read) positions count as solid (no signal)
-        return jnp.where(valid, hit, True)
-
-    base_solid = solidity(seqs)  # [B, Lk]
+    f_hi, f_lo, r_hi, r_lo, valid = _kmer_lanes(seqs, lens, k)
+    c_hi, c_lo = _canon(f_hi, f_lo, r_hi, r_lo)
+    base_solid = jnp.where(valid, _member(h1s, h2s, c_hi, c_lo), True)
 
     # per-position: number of weak covering k-mers, via windowed sum
     weak = (~base_solid).astype(jnp.int32)
     # covering k-mers of position p: starts in [p-k+1, p]
     wpad = jnp.pad(weak, ((0, 0), (k - 1, k - 1)))
-    kernel = jnp.ones((1, k), jnp.int32)
     cover_weak = jax.lax.reduce_window(
         wpad, np.int32(0), jax.lax.add, (1, k), (1, 1), "valid")[:, :L]
 
-    # trial substitutions: for each base b, recompute solidity
+    # trial substitutions: for each base b and in-kmer offset j, the trial
+    # code differs from the original in one forward digit and one RC digit;
+    # set both lanes accordingly, re-canonicalize, and test membership.
     best_gain = jnp.zeros((B, L), jnp.int32)
     best_base = seqs
     for b in range(4):
-        trial_gain = jnp.zeros((B, L), jnp.int32)
-        # changing position p affects k-mers starting in [p-k+1, p]; rather
-        # than per-position recompute, substitute base b EVERYWHERE and ask:
-        # would k-mers be solid if their window contained b at offset j?
-        # Exact per-position trial: recompute solidity for seqs with column
-        # p replaced — O(L) recomputes is too much; instead use the shifted
-        # trick: build seqs_b[p] = b at p only via k passes below.
-        # For each offset j in [0, k): kmer starting at s covering p=s+j
-        # with substituted base: code differs from original in one digit.
-        _, valid = _kmer_codes(seqs, lens, k)
-        # fwd/rc codes (need both, not canonical)
-        acc_f = jnp.zeros((B, Lk), jnp.uint32)
-        acc_r = jnp.zeros((B, Lk), jnp.uint32)
-        for j in range(k):
-            bb = jax.lax.slice(seqs, (0, j), (B, j + Lk)).astype(jnp.uint32)
-            bb = jnp.where(bb >= 4, 0, bb)
-            acc_f = (acc_f << 2) | bb
-            acc_r = acc_r | ((jnp.uint32(3) - bb) << jnp.uint32(2 * j))
         gain_b = jnp.zeros((B, L), jnp.int32)
         for j in range(k):
-            shift_f = jnp.uint32(2 * (k - 1 - j))
-            shift_r = jnp.uint32(2 * j)
-            f2 = (acc_f & ~(jnp.uint32(3) << shift_f)) | (jnp.uint32(b) << shift_f)
-            r2 = (acc_r & ~(jnp.uint32(3) << shift_r)) | \
-                ((jnp.uint32(3 - b)) << shift_r)
-            canon2 = jnp.minimum(f2, r2)
-            idx = jnp.clip(jnp.searchsorted(solid_sorted, canon2,
-                                            method="sort"), 0,
-                           solid_sorted.shape[0] - 1)
-            hit = (solid_sorted[idx] == canon2)
-            hit = jnp.where(valid, hit, True)
+            df = k - 1 - j
+            if df < 16:
+                sh = jnp.uint32(2 * df)
+                tf_lo = (f_lo & ~(jnp.uint32(3) << sh)) | (jnp.uint32(b) << sh)
+                tf_hi = f_hi
+            else:
+                sh = jnp.uint32(2 * (df - 16))
+                tf_hi = (f_hi & ~(jnp.uint32(3) << sh)) | (jnp.uint32(b) << sh)
+                tf_lo = f_lo
+            if j < 16:
+                sh = jnp.uint32(2 * j)
+                tr_lo = (r_lo & ~(jnp.uint32(3) << sh)) | \
+                    (jnp.uint32(3 - b) << sh)
+                tr_hi = r_hi
+            else:
+                sh = jnp.uint32(2 * (j - 16))
+                tr_hi = (r_hi & ~(jnp.uint32(3) << sh)) | \
+                    (jnp.uint32(3 - b) << sh)
+                tr_lo = r_lo
+            t_hi, t_lo = _canon(tf_hi, tf_lo, tr_hi, tr_lo)
+            hit = jnp.where(valid, _member(h1s, h2s, t_hi, t_lo), True)
             # k-mer start s covers position p = s + j; pad non-covered True
             gain_b = gain_b + jnp.pad(
                 hit, ((0, 0), (j, L - Lk - j)),
@@ -160,17 +226,19 @@ def _correct_block(seqs, lens, solid_sorted, *, k):
 
 
 def correct_reads(reads: ReadSet, spectrum_reads: Optional[ReadSet] = None,
-                  *, k: int = 15, min_count: int = 3, rounds: int = 1,
+                  *, k: int = 25, min_count: int = 3, rounds: int = 1,
                   block: int = 2048) -> ReadSet:
     """Correct ``reads`` against the k-mer spectrum of ``spectrum_reads``
     (default: the reads themselves — the bfc mode; pass the short reads to
     correct long reads — the fmlrc mode with ``rounds=3``)."""
-    assert k <= 16
+    assert k <= 32
     src = spectrum_reads if spectrum_reads is not None else reads
     solid, _ = build_spectrum(src, k=k, min_count=min_count)
     if len(solid) == 0:
         return reads
-    solid_d = jnp.asarray(solid)
+    h1s_np, h2s_np = spectrum_tables(solid)
+    h1s = jnp.asarray(h1s_np)
+    h2s = jnp.asarray(h2s_np)
     L = bucket_len(int(reads.lengths.max(initial=1)))
 
     out_seqs = []
@@ -182,7 +250,7 @@ def correct_reads(reads: ReadSet, spectrum_reads: Optional[ReadSet] = None,
         seqs_d = jnp.asarray(seqs)
         lens_d = jnp.asarray(lens)
         for _ in range(rounds):
-            seqs_d, n_fixed = _correct_block(seqs_d, lens_d, solid_d, k=k)
+            seqs_d, n_fixed = _correct_block(seqs_d, lens_d, h1s, h2s, k=k)
             total_fixed += int(n_fixed)
         arr = np.asarray(seqs_d)
         for i, ln in enumerate(np.asarray(lens_d)):

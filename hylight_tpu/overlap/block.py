@@ -19,22 +19,41 @@ from hylight_tpu.overlap.filters import admission_filter
 
 
 def make_block_fn(cfg: OverlapConfig, *, mcap: int, max_pairs: int,
-                  snp_cap: int = 64, use_pallas: bool = False):
+                  snp_cap: int = 64, use_pallas: bool = False,
+                  n_reads: int = 0, max_len: int = 0):
     """Build a jittable fn(seqs, lens) -> (Chains, Extensions, ScoredOverlaps)
-    computing all-vs-all overlaps inside one padded read block."""
+    computing all-vs-all overlaps inside one padded read block.
+
+    When ``n_reads``/``max_len`` are given and fit the packed-key budget,
+    the block uses the roll-based self-join (seed.self_join_candidates) —
+    no [N, F] gathers, 3-operand sort — otherwise the legacy
+    collect_anchors + group_candidates path.
+    """
+    use_self_join = (
+        0 < max_len < (1 << 15)
+        and 0 < n_reads
+        and 2 * n_reads * ((3 * max_len) // 64 + 2) < (1 << 31))
 
     @jax.jit
     def block_fn(seqs: jax.Array, lens: jax.Array):
         ms = minimizers(seqs, lens, k=cfg.k, w=cfg.w, cap=mcap)
         index = seed_mod.build_index(ms, 0, max_occ=cfg.max_occ)
-        anchors = seed_mod.collect_anchors(ms, 0, index,
-                                           max_hits=cfg.max_occ,
-                                           dedup_self=True)
-        cand = seed_mod.group_candidates(
-            anchors, lens.astype(jnp.int32), bandwidth=64,
-            min_anchors=cfg.min_anchors,
-            max_pairs=max_pairs, anchors_per_pair=cfg.anchors_per_pair,
-            row_size=mcap * cfg.max_occ, k=cfg.k)
+        if use_self_join:
+            cand = seed_mod.self_join_candidates(
+                index, lens.astype(jnp.int32), bandwidth=64,
+                min_anchors=cfg.min_anchors, max_pairs=max_pairs,
+                anchors_per_pair=cfg.anchors_per_pair,
+                max_occ=cfg.max_occ, k=cfg.k,
+                n_reads=n_reads, max_len=max_len)
+        else:
+            anchors = seed_mod.collect_anchors(ms, 0, index,
+                                               max_hits=cfg.max_occ,
+                                               dedup_self=True)
+            cand = seed_mod.group_candidates(
+                anchors, lens.astype(jnp.int32), bandwidth=64,
+                min_anchors=cfg.min_anchors,
+                max_pairs=max_pairs, anchors_per_pair=cfg.anchors_per_pair,
+                row_size=mcap * cfg.max_occ, k=cfg.k)
         ch = refine_chains(cand, k=cfg.k, min_score=cfg.min_chain_score,
                            max_gap=cfg.max_gap)
         if use_pallas:

@@ -170,6 +170,211 @@ def collect_anchors(ms: MinimizerSet, qbase, index: MinimizerIndex, *,
 
 @functools.partial(jax.jit, static_argnames=(
     "bandwidth", "min_anchors", "max_pairs", "anchors_per_pair",
+    "max_occ", "k", "n_reads", "max_len"))
+def self_join_candidates(index: MinimizerIndex, lens: jax.Array, *,
+                         bandwidth: int, min_anchors: int, max_pairs: int,
+                         anchors_per_pair: int, max_occ: int, k: int,
+                         n_reads: int, max_len: int) -> Candidates:
+    """All-vs-all candidate pairing directly from the hash-sorted index —
+    the fast path for one read block (replaces collect_anchors +
+    group_candidates for the self-join case).
+
+    Two structural facts make this cheap on TPU:
+
+    1. ``build_index``'s stable sort keeps each hash run in original
+       (read-major) order, and runs longer than ``max_occ`` are fully
+       repeat-masked. So every anchor pair within a run is (slot i,
+       slot i+d) for some d in [1, max_occ-1] with read(i) <= read(i+d) —
+       the whole join is ``max_occ-1`` array ROLLS, no [N, F] gathers and
+       no searchsorted (the round-1 path spent ~65% of block time there).
+    2. Band voting needs anchors grouped by (pair, band); packing
+       (qid, tid, strand) into one int32 key and (band, qpos) into a
+       second makes the global sort 3 operands / 2 keys instead of
+       5 operands — and leaves each run pre-sorted by qpos.
+
+    Anchor multiset is identical to collect_anchors(dedup_self=True) +
+    group_candidates (validated by tests/test_seed.py). Requires
+    ``n_reads * 2 * nbands < 2^31`` and ``max_len <= 2^15`` (the block
+    sizes the engine feeds); larger blocks use the legacy path.
+    """
+    h, tid2s, tpos = index.hash, index.tid2s, index.tpos
+    Nt = h.shape[0]
+    P, A = max_pairs, anchors_per_pair
+    nbands = (3 * max_len) // bandwidth + 2
+    qshift = 15
+    bandbits = max(int(nbands - 1).bit_length(), 1)
+    pairbits = int(2 * n_reads - 1).bit_length() + \
+        int(n_reads - 1).bit_length()
+    one_key = (pairbits + bandbits) <= 30 and max_len < (1 << qshift)
+    assert max_len < (1 << qshift), "self-join packed path needs len < 32768"
+    assert 2 * n_reads * nbands < (1 << 31), "key packing overflow"
+    assert (nbands << qshift) < (1 << 31), "band/qpos packing overflow"
+
+    iota = jnp.arange(Nt, dtype=jnp.int32)
+    last = jnp.concatenate([h[1:] != h[:-1], jnp.ones(1, jnp.bool_)])
+    run_hi = jax.lax.cummin(jnp.where(last, iota, Nt - 1), reverse=True)
+    ok_i = tid2s >= 0
+
+    key1_l, key2_l, tpos_l = [], [], []
+    for d in range(1, max_occ):
+        t2_j = jnp.roll(tid2s, -d)
+        tpos_j = jnp.roll(tpos, -d)
+        in_run = (iota + d) <= run_hi
+        qid = tid2s >> 1
+        tid = t2_j >> 1
+        strand = ((tid2s ^ t2_j) & 1)
+        v = in_run & ok_i & (t2_j >= 0) & (qid < tid)
+        qpos = tpos
+        diag = jnp.where(strand == 1, qpos + tpos_j, qpos - tpos_j)
+        band = (diag + max_len) // bandwidth
+        pair2 = tid * 2 + strand
+        grp = qid * (2 * n_reads) + pair2
+        if one_key:
+            # single sort key (group, band); payload packs (qpos, tpos).
+            # Within-run qpos order is then arbitrary — the strided window
+            # subsample stays a uniform sample and windows re-sort by qpos.
+            key1_l.append(jnp.where(v, (grp << bandbits) | band, INT_MAX))
+            key2_l.append((qpos << qshift) | tpos_j)
+        else:
+            key1_l.append(jnp.where(v, grp, INT_MAX))
+            key2_l.append(jnp.where(v, (band << qshift) | qpos, INT_MAX))
+            tpos_l.append(tpos_j)
+    key1 = jnp.concatenate(key1_l)
+    key2 = jnp.concatenate(key2_l)
+    N = key1.shape[0]
+
+    if one_key:
+        # payload doubles as 2nd key: (qpos << 15 | tpos) orders runs by
+        # qpos so the strided window subsample matches the legacy path
+        key1, key2 = jax.lax.sort((key1, key2), num_keys=2, is_stable=False)
+        valid = key1 != INT_MAX
+        qpos = key2 >> qshift
+        tposf = key2 & ((1 << qshift) - 1)
+        band = jnp.where(valid, key1 & ((1 << bandbits) - 1), INT_MAX)
+        grp_key = key1
+    else:
+        tposf = jnp.concatenate(tpos_l)
+        key1, key2, tposf = jax.lax.sort((key1, key2, tposf), num_keys=2,
+                                         is_stable=False)
+        valid = key1 != INT_MAX
+        band = jnp.where(valid, key2 >> qshift, INT_MAX)
+        qpos = key2 & ((1 << qshift) - 1)
+        grp_key = key1
+
+    idx = jnp.arange(N, dtype=jnp.int32)
+    prev = jnp.maximum(idx - 1, 0)
+    if one_key:
+        new_run = (idx == 0) | (key1 != key1[prev])
+    else:
+        new_run = (idx == 0) | (key1 != key1[prev]) | (band != band[prev])
+    last_run = jnp.concatenate([new_run[1:], jnp.ones(1, jnp.bool_)])
+    run_start = jax.lax.cummax(jnp.where(new_run, idx, 0))
+    run_end = jax.lax.cummin(jnp.where(last_run, idx, N - 1), reverse=True)
+    run_len = run_end - run_start + 1
+
+    R = min(max(8 * max_pairs, 4096), N)
+    thr = min(2, max(1, min_anchors))
+    is_cand = new_run & valid & (run_len >= thr)
+    # compact the first R candidate run-starts WITHOUT another N-sized
+    # sort: binary-search each rank into the cumsum (24ish gathers at [R])
+    cum = jnp.cumsum(is_cand.astype(jnp.int32))
+    target = jnp.arange(1, R + 1, dtype=jnp.int32)
+    lo = jnp.zeros((R,), jnp.int32)
+    hi = jnp.full((R,), N, jnp.int32)
+    for _ in range(int(N).bit_length()):
+        mid = (lo + hi) // 2
+        go = cum[jnp.minimum(mid, N - 1)] < target
+        lo = jnp.where(go, mid + 1, lo)
+        hi = jnp.where(go, hi, mid)
+    rs = jnp.minimum(lo, N - 1)
+    r_ok = (target <= cum[N - 1]) & is_cand[rs]
+    key1_r = jnp.where(r_ok, grp_key[rs], INT_MAX)
+    if one_key:
+        band_r = key1_r     # band lives in the low bits: +1 band == +1 key
+    else:
+        band_r = jnp.where(r_ok, band[rs], INT_MAX)
+    end_r = jnp.where(r_ok, run_end[rs], 0)
+    start_r = jnp.where(r_ok, rs, 0)
+    len_r = jnp.where(r_ok, end_r - start_r + 1, 0)
+
+    def roll_prev(x, fill):
+        return jnp.concatenate([jnp.full((1,), fill, x.dtype), x[:-1]])
+
+    def roll_next(x, fill):
+        return jnp.concatenate([x[1:], jnp.full((1,), fill, x.dtype)])
+
+    if one_key:
+        same_prev = r_ok & (key1_r - roll_prev(key1_r, INT_MAX) == 1) \
+            & roll_prev(r_ok, False)
+        same_next = r_ok & (roll_next(key1_r, INT_MAX) - key1_r == 1) \
+            & roll_next(r_ok, False)
+    else:
+        same_prev = (roll_prev(key1_r, INT_MAX) == key1_r) \
+            & (band_r - roll_prev(band_r, INT_MAX) == 1)
+        same_next = (roll_next(key1_r, INT_MAX) == key1_r) \
+            & (roll_next(band_r, INT_MAX) - band_r == 1)
+    merged = len_r + jnp.where(same_prev, roll_prev(len_r, 0), 0) \
+        + jnp.where(same_next, roll_next(len_r, 0), 0)
+    merged_start = jnp.where(same_prev, roll_prev(start_r, 0), start_r)
+    merged_end = jnp.where(same_next, roll_next(end_r, 0), end_r) + 1
+
+    mprev = jnp.where(same_prev, roll_prev(merged, 0), -1)
+    mnext = jnp.where(same_next, roll_next(merged, 0), -1)
+    is_winner = r_ok & (merged >= min_anchors) & (merged > mprev) \
+        & (merged >= mnext)
+
+    wrank = jnp.cumsum(is_winner.astype(jnp.int32)) - 1
+    wkey = jnp.where(is_winner & (wrank < P), wrank, INT_MAX)
+    ridx = jnp.arange(R, dtype=jnp.int32)
+    _, perm_w = jax.lax.sort((wkey, ridx), num_keys=1, is_stable=True)
+    sel = perm_w[:P]
+    sel_ok = is_winner[sel]
+
+    def compact(x, fill):
+        return jnp.where(sel_ok, x[sel], jnp.asarray(fill, x.dtype))
+
+    c_start = compact(merged_start, 0)
+    c_full = compact(merged_end - merged_start, 0)
+    c_len = jnp.minimum(c_full, A)
+    c_valid = sel_ok
+    c_n = compact(merged, 0)
+    c_key1 = compact(key1_r, INT_MAX)
+    if one_key:
+        c_key1 = c_key1 >> bandbits    # back to the (qid, pair2) group
+    c_qid = jnp.where(c_valid, c_key1 // (2 * n_reads), INT_MAX)
+    c_pair2 = jnp.where(c_valid, c_key1 - c_qid * (2 * n_reads), 0)
+    c_tid = jnp.where(c_valid, c_pair2 >> 1, INT_MAX)
+    qlen = jnp.where(c_valid, lens[jnp.where(c_valid, c_qid, 0)], 0) \
+        .astype(jnp.int32)
+    tlen = jnp.where(c_valid, lens[jnp.where(c_valid, c_tid, 0)], 0) \
+        .astype(jnp.int32)
+
+    ar = jnp.arange(A, dtype=jnp.int32)[None, :]
+    offs = (ar * c_full[:, None]) // jnp.maximum(c_len[:, None], 1)
+    gi = jnp.minimum(c_start[:, None] + offs, N - 1)
+    amask = (ar < c_len[:, None]) & c_valid[:, None]
+    aq = jnp.where(amask, qpos[gi], INT_MAX)
+    at = jnp.where(amask, tposf[gi], INT_MAX)
+    minus = (c_pair2 % 2)[:, None] == 1
+    at = jnp.where(amask & minus, tlen[:, None] - k - at, at)
+    aq, at, amaski = jax.lax.sort(
+        (aq, at, amask.astype(jnp.int32)), num_keys=2, is_stable=True,
+        dimension=1)
+    amask = amaski.astype(jnp.bool_)
+    return Candidates(
+        qid=c_qid,
+        tid=c_tid,
+        strand=jnp.where(c_valid, c_pair2 % 2, 0),
+        qlen=qlen, tlen=tlen,
+        n_anchors=jnp.where(c_valid, c_n, 0),
+        valid=c_valid,
+        n_winners=jnp.sum(is_winner.astype(jnp.int32)),
+        aq=aq, at=at, amask=amask,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "bandwidth", "min_anchors", "max_pairs", "anchors_per_pair",
     "row_size", "k"))
 def group_candidates(a: Anchors, lens: jax.Array, *, bandwidth: int,
                      min_anchors: int, max_pairs: int,

@@ -35,6 +35,40 @@ def test_sr_correction_fixes_errors(rng):
         f"{remaining} of {err_total} errors left"
 
 
+def test_sr_correction_k25(rng):
+    """k > 16 path: two-lane uint64 codes + hashed membership (the
+    reference's bfc uses k~25; config default sr_k=25 is honored now)."""
+    g = rng.integers(0, 4, size=2000).astype(np.uint8)
+    clean = [g[s:s + 150] for s in range(0, 1851, 10)]
+    noisy = []
+    err_total = 0
+    for i, r in enumerate(clean):
+        r = r.copy()
+        if i % 3 == 0:
+            p = int(rng.integers(30, 120))
+            r[p] = (r[p] + 1) % 4
+            err_total += 1
+        noisy.append(r)
+    rs = ReadSet.from_seqs(noisy)
+    fixed = correct_reads(rs, k=25, min_count=3, rounds=1)
+    remaining = sum((fixed.get(i) != clean[i]).sum()
+                    for i in range(len(clean)))
+    assert remaining <= err_total * 0.1, \
+        f"{remaining} of {err_total} errors left"
+
+
+def test_spectrum_k25_exact(rng):
+    """uint64 spectrum codes are exact: a read set with a known k-mer
+    multiset yields exactly the expected solid count."""
+    g = rng.integers(0, 4, size=400).astype(np.uint8)
+    rs = ReadSet.from_seqs([g, g.copy(), g.copy()])
+    solid, counts = build_spectrum(rs, k=25, min_count=3)
+    # every canonical 25-mer of g occurs exactly 3x (unless duplicated in g)
+    assert len(solid) > 300
+    assert (counts >= 3).all()
+    assert (np.diff(solid.astype(np.int64)) > 0).all()
+
+
 def test_lr_correction_from_sr_spectrum(rng):
     g = rng.integers(0, 4, size=2000).astype(np.uint8)
     sr = ReadSet.from_seqs([g[s:s + 150] for s in range(0, 1851, 10)])

@@ -1,5 +1,8 @@
-"""Per-stage TPU timing of the overlap block (sync via host fetch)."""
-import time, numpy as np
+"""Per-stage TPU timing of the overlap block (sync via host fetch).
+
+Usage: python tools/profile_block.py [n_reads] [read_len]
+"""
+import sys, time, numpy as np
 import jax, jax.numpy as jnp
 from hylight_tpu.io.readset import ReadSet
 from hylight_tpu.ops.minimizers import minimizers
@@ -8,14 +11,23 @@ from hylight_tpu.overlap.chain import refine_chains
 from hylight_tpu.overlap.extend import extend_chains
 from hylight_tpu.overlap.filters import admission_filter
 
+n_reads = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+read_len = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
+max_pairs = max(2048, n_reads * 16)
+
 rng = np.random.default_rng(7)
-n_reads, read_len = 64, 8192
 glen = n_reads*read_len//12
 g = rng.integers(0,4,glen).astype(np.uint8)
 starts = rng.integers(0, glen-read_len, n_reads)
-rs = ReadSet.from_seqs([g[s:s+read_len] for s in starts])
+reads = [g[s:s+read_len].copy() for s in starts]
+# ~1% substitution errors (corrected-LR realism)
+for r in reads:
+    e = rng.random(read_len) < 0.01
+    r[e] = (r[e] + rng.integers(1,4,e.sum())) % 4
+rs = ReadSet.from_seqs(reads)
 seqs_np, lens_np = rs.to_padded(max_len=read_len)
 seqs=jnp.asarray(seqs_np); lens=jnp.asarray(lens_np)
+mcap = 2816
 
 def timeit(name, f, *a):
     r = f(*a); _ = np.asarray(jax.tree.leaves(r)[0]).ravel()[:1]
@@ -24,11 +36,20 @@ def timeit(name, f, *a):
     _ = np.asarray(jax.tree.leaves(r)[0]).ravel()[:1]
     print(name, round((time.time()-t0)/iters,4), flush=True); return r
 
-ms = timeit("minimizers", lambda s,l: minimizers(s,l,k=15,w=5,cap=2816), seqs, lens)
-idx = timeit("build_index", lambda m,l: sm.build_index(m,l,0,max_occ=16), ms, lens)
-an = timeit("collect_anchors", lambda m,i: sm.collect_anchors(m,0,i,k=15,max_hits=16,dedup_self=True), ms, idx)
-cand = timeit("group_candidates", lambda a,l: sm.group_candidates(a,l,bandwidth=64,min_anchors=4,max_pairs=2048,anchors_per_pair=256), an, lens)
+ms = timeit("minimizers", lambda s,l: minimizers(s,l,k=15,w=5,cap=mcap), seqs, lens)
+idx = timeit("build_index", lambda m: sm.build_index(m,0,max_occ=16), ms)
+if "--legacy" in sys.argv:
+    an = timeit("collect_anchors", lambda m,i: sm.collect_anchors(m,0,i,max_hits=16,dedup_self=True), ms, idx)
+    cand = timeit("group_candidates", lambda a,l: sm.group_candidates(
+        a,l.astype(jnp.int32),bandwidth=64,min_anchors=4,max_pairs=max_pairs,
+        anchors_per_pair=256,row_size=mcap*16,k=15), an, lens)
+else:
+    cand = timeit("self_join", lambda i,l: sm.self_join_candidates(
+        i,l.astype(jnp.int32),bandwidth=64,min_anchors=4,max_pairs=max_pairs,
+        anchors_per_pair=256,max_occ=16,k=15,n_reads=n_reads,
+        max_len=read_len), idx, lens)
 ch = timeit("refine_chains", lambda c: refine_chains(c,k=15,min_score=100,max_gap=10000), cand)
 ext = timeit("extend_chains", lambda c,s: extend_chains(c,s,k=15,gap_tile=32,max_mismatch=64), ch, seqs)
 sc = timeit("admission", lambda c,e: admission_filter(c,e,min_len=2000,min_identity=0.9,max_overhang=1000,overhang_ratio=0.8), ch, ext)
-print("admitted", int(jnp.sum(sc.valid)), "chained", int(jnp.sum(ch.valid)))
+print("admitted", int(jnp.sum(sc.valid)), "chained", int(jnp.sum(ch.valid)),
+      "winners", int(cand.n_winners), "anchor_slots", an.qid.shape[0])
