@@ -156,7 +156,8 @@ def assemble_long_reads(lr: ReadSet, cfg: Config,
         with stage(f"lr_polish_r{rnd}"):
             contigs = polish_contigs(contigs, remaining, cfg=cfg.overlap,
                                      rounds=cfg.consensus.rounds_long,
-                                     query_block=query_block)
+                                     query_block=query_block,
+                                     min_depth=cfg.consensus.min_depth)
         contig_parts.append(contigs)
         if rnd == pickup_rounds:
             break
@@ -180,5 +181,6 @@ def assemble_long_reads(lr: ReadSet, cfg: Config,
     if sr is not None and sr.n > 0 and contigs.n > 0:
         with stage("lr_sr_polish"):
             contigs = polish_contigs(contigs, sr, cfg=cfg.overlap_sr,
-                                     rounds=1, query_block=256)
+                                     rounds=1, query_block=256,
+                                     min_depth=cfg.consensus.min_depth)
     return contigs

@@ -97,6 +97,13 @@ class WorkingSet:
     subreads: List[List[Tuple[int, int, int]]] = field(default_factory=list)
     mate: Optional[np.ndarray] = None   # int64 [n], -1 = single
     ctx: Optional["SRContext"] = None   # original-read context
+    # previous iteration's FULL overlap table between rows that survived
+    # unchanged, remapped to this set's ids — the reference's
+    # nonedge_overlaps.txt carry (EdgeCalculator.cpp:410-413,548-555;
+    # reconsiderNonedgeOverlaps FindNextOverlaps.cpp:635): sub-threshold
+    # overlaps stay available to later iterations even if the engine's
+    # sampled seeding misses them on a re-run
+    carry: Optional[OverlapTable] = None
 
     def __post_init__(self):
         if self.mate is None:
@@ -128,11 +135,21 @@ def _mean_err(rs: ReadSet) -> np.ndarray:
     return out
 
 
-def score_edges(table: OverlapTable, rs: ReadSet) -> np.ndarray:
-    """Bayesian overlap score per edge (EdgeCalculator.cpp:26-139 math with
-    mean-phred columns): exp(mean log p) over verified columns."""
+def score_edges(table: OverlapTable, rs: ReadSet,
+                exact: bool = True) -> np.ndarray:
+    """Bayesian overlap score per edge (EdgeCalculator.cpp:26-139).
+
+    exact=True (default) walks every aligned column with BOTH reads'
+    per-base phreds on device (ops/phred_score.py) — the reference math to
+    1e-6 (ungapped overlap model, same as the SAVAGE overlap format).
+    exact=False keeps the round-1 mean-error approximation (used only as a
+    fallback; per-column phreds matter near the 0.93/1.0 thresholds)."""
     if table.n == 0:
         return np.zeros(0)
+    if exact:
+        from hylight_tpu.ops.phred_score import phred_edge_scores
+        s, _ = phred_edge_scores(table, rs, default_phred=DEFAULT_PHRED)
+        return s
     err = _mean_err(rs)
     p1 = err[table.qid]
     p2 = err[table.tid]
@@ -221,33 +238,48 @@ def pe_edge_filter(table: OverlapTable, keep: np.ndarray, mate: np.ndarray,
 # ---------------------------------------------------------------------------
 # orientation labelling (vertexLabellingHeuristic, GraphAlgos.cpp:178-349)
 
-def orient_reads(table: OverlapTable, n: int, admitted: np.ndarray
-                 ) -> Tuple[np.ndarray, np.ndarray]:
+def orient_reads(table: OverlapTable, n: int, admitted: np.ndarray,
+                 tries: int = 100) -> Tuple[np.ndarray, np.ndarray]:
     """BFS parity labelling; returns (labels[n], keep_mask over edges).
 
-    Edges whose strand disagrees with the label parity are dropped (the
-    reference shuffles seeds x100 to minimize these; we do one
-    deterministic pass in read-id order)."""
-    labels = np.full(n, -1, dtype=np.int8)
-    adj: List[List[Tuple[int, int, int]]] = [[] for _ in range(n)]
+    Edges whose strand disagrees with the label parity are dropped. Like
+    the reference (vertexLabellingHeuristic, GraphAlgos.cpp:178-248) up to
+    ``tries`` shuffled BFS orders are attempted (fixed seeds; seed order by
+    increasing degree on try 1) and the labelling deleting the fewest
+    conflicting edges wins, with early exit at zero. Runs in native C++
+    (graphcore.hl_label_orientations); the pure-python fallback does one
+    deterministic pass in read-id order."""
+    labels = None
     idxs = np.nonzero(admitted)[0]
-    for e in idxs:
-        q, t, s = int(table.qid[e]), int(table.tid[e]), int(table.strand[e])
-        adj[q].append((t, s, e))
-        adj[t].append((q, s, e))
-    from collections import deque
-    for seed in range(n):
-        if labels[seed] >= 0:
-            continue
-        labels[seed] = 0
-        dq = deque([seed])
-        while dq:
-            u = dq.popleft()
-            for v, s, _e in adj[u]:
-                want = labels[u] ^ s
-                if labels[v] < 0:
-                    labels[v] = want
-                    dq.append(v)
+    if len(idxs) and tries > 0:
+        from hylight_tpu import native
+        res = native.label_orientations(
+            table.qid[idxs], table.tid[idxs],
+            table.strand[idxs].astype(np.uint8), n, max_tries=tries)
+        if res is not None:
+            labels = res[0].astype(np.int8)
+    if labels is None:
+        labels = np.full(n, -1, dtype=np.int8)
+        adj: List[List[Tuple[int, int, int]]] = [[] for _ in range(n)]
+        for e in idxs:
+            q, t, s = int(table.qid[e]), int(table.tid[e]), \
+                int(table.strand[e])
+            adj[q].append((t, s, e))
+            adj[t].append((q, s, e))
+        from collections import deque
+        for seed in range(n):
+            if labels[seed] >= 0:
+                continue
+            labels[seed] = 0
+            dq = deque([seed])
+            while dq:
+                u = dq.popleft()
+                for v, s, _e in adj[u]:
+                    want = labels[u] ^ s
+                    if labels[v] < 0:
+                        labels[v] = want
+                        dq.append(v)
+        labels[labels < 0] = 0
     keep = np.ones(table.n, dtype=bool)
     keep[:] = admitted
     strand = table.strand.astype(np.int8)
@@ -357,12 +389,36 @@ def _orig_len(ws: WorkingSet, orig: int, ori: int) -> int:
 
 def _overlaps(ws: WorkingSet, cfg: Config, min_len: int) -> OverlapTable:
     from dataclasses import replace
+    from hylight_tpu.overlap.engine import _dedup_best_per_pair
     # with PE rows present the engine must emit the >= min_len/2
     # end-overlaps that the PE admission rule evaluates
     eff = min_len // 2 if bool((ws.mate >= 0).any()) else min_len
     oc = replace(cfg.overlap_sr, min_ovlp_len=eff)
     qb = 256 if ws.n > 256 else max(8, ws.n)
-    return find_overlaps(ws.reads, cfg=oc, query_block=qb)
+    table = find_overlaps(ws.reads, cfg=oc, query_block=qb)
+    if ws.carry is not None and ws.carry.n:
+        table = _dedup_best_per_pair(OverlapTable.concat([table, ws.carry]))
+    return table
+
+
+def _remap_carry(table: Optional[OverlapTable],
+                 old2new: np.ndarray) -> Optional[OverlapTable]:
+    """Remap an iteration's full table onto the next working set: only
+    overlaps between rows that survived UNCHANGED (trivial superreads) stay
+    valid — merged rows get fresh coordinates from the re-overlap instead
+    (the FNO projection role). old2new is monotone over trivial rows, so
+    the qid < tid convention is preserved."""
+    if table is None or table.n == 0:
+        return None
+    nq = old2new[table.qid]
+    nt = old2new[table.tid]
+    m = (nq >= 0) & (nt >= 0)
+    if not m.any():
+        return None
+    t = table.select(m)
+    t.qid = old2new[table.qid[m]]
+    t.tid = old2new[table.tid[m]]
+    return t
 
 
 def _star_offsets(table, labels, clique: List[int], edge_of: Dict
@@ -418,7 +474,9 @@ def clique_iteration(ws: WorkingSet, cfg: Config, *, min_overlap_len: int,
                                 diploid=diploid)
     if not trim:  # remove_backedges = !error_correction (VQ :361-367)
         g = sr_graph.build_digraph(table, labels, keep, ws.n)
-        back = sr_graph.back_edge_mask(g)
+        back = sr_graph.back_edge_mask(
+            g, score=score_edges(table, ws.reads)[g.eidx],
+            mism=1.0 - table.identity[g.eidx])
         if back.any():
             keep = keep.copy()
             keep[g.eidx[back]] = False
@@ -442,7 +500,8 @@ def clique_iteration(ws: WorkingSet, cfg: Config, *, min_overlap_len: int,
         if offs is None:
             continue
         res = consensus_group(ws, labels, c, offs,
-                              min_support=min_clique_size, trim=trim)
+                              min_support=min_clique_size, trim=trim,
+                              min_posterior=cfg.consensus.min_qual)
         if res is None:
             continue
         i1 = out.emit(*res)
@@ -458,14 +517,16 @@ def clique_iteration(ws: WorkingSet, cfg: Config, *, min_overlap_len: int,
             placed, m_offs = _place_by_edges(mates, edge_of, offsets_rel)
             if placed:
                 res2 = consensus_group(ws, labels, placed, m_offs,
-                                       min_support=1, trim=False)
+                                       min_support=1, trim=False,
+                                       min_posterior=cfg.consensus.min_qual)
                 if res2 is not None:
                     i2 = out.emit(*res2)
                     out.link(i1, i2)
                     out.used[np.asarray(placed)] = True
 
     out.emit_trivial()
-    return out.finish("clique_it", extra=f"{len(cliques)} cliques")
+    return out.finish("clique_it", extra=f"{len(cliques)} cliques",
+                      table=table)
 
 
 class _SuperreadAccum:
@@ -502,7 +563,8 @@ class _SuperreadAccum:
             if m > r and not self.used[m]:
                 self.link(int(self.old2new[r]), int(self.old2new[m]))
 
-    def finish(self, tag: str, extra: str = "") -> WorkingSet:
+    def finish(self, tag: str, extra: str = "",
+               table: Optional[OverlapTable] = None) -> WorkingSet:
         rs = ReadSet.from_seqs(self.reads, quals=self.quals,
                                names=[str(i) for i in range(len(self.reads))])
         mate = np.full(rs.n, -1, dtype=np.int64)
@@ -512,7 +574,8 @@ class _SuperreadAccum:
         log.info("[SR::%s] %d reads -> %d superreads (%d paired) %s",
                  tag, self.ws.n, rs.n, int((mate >= 0).sum()) // 2, extra)
         return WorkingSet(reads=rs, subreads=self.subs, mate=mate,
-                          ctx=self.ws.ctx)
+                          ctx=self.ws.ctx,
+                          carry=_remap_carry(table, self.old2new))
 
 
 def _place_by_edges(members: List[int], edge_of: Dict,
@@ -543,7 +606,8 @@ def _place_by_edges(members: List[int], edge_of: Dict,
 
 def merge_iteration(ws: WorkingSet, cfg: Config, *, min_overlap_len: int,
                     edge_threshold: float, merge_eps: float = 0.0,
-                    remove_branches: bool = True
+                    remove_branches: bool = True,
+                    remove_tips: bool = False, max_tip_len: int = 150
                     ) -> Tuple[WorkingSet, int]:
     """Greedy disjoint-edge merging (mergeAlongEdges path).
 
@@ -553,7 +617,13 @@ def merge_iteration(ws: WorkingSet, cfg: Config, *, min_overlap_len: int,
     crossing branch-free components are deleted before pairing. Pair
     selection follows getEdgesForMerging (``GraphAlgos.cpp:112-148``):
     scan nodes in id order, take the node's first unprocessed out-neighbor
-    in sortEdges order (ascending non-overlap length, target-id tiebreak)."""
+    in sortEdges order (ascending non-overlap length, target-id tiebreak).
+
+    remove_tips: polyte passes --remove_tips=false on its whole path
+    (``polyte.tune_params.py:605,672``), but stage-b leaves the VQ default
+    TRUE (``ViralQuasispecies.cpp:85,322``; pipeline_per_stage passes no
+    flag) — so tips run in stage-b merge iterations with its
+    --max_tip_len 1000 (``HyLight.py:320-323``)."""
     table = _overlaps(ws, cfg, min_overlap_len)
     admitted = admit_edges(table, ws.reads,
                            min_overlap_len=min_overlap_len,
@@ -635,13 +705,14 @@ def merge_iteration(ws: WorkingSet, cfg: Config, *, min_overlap_len: int,
     keep = keep0 & ~(out.used[table.qid] | out.used[table.tid])
     keep, _ = sr_graph.clean_graph(
         table, labels, keep, remove_trans=1,
-        remove_branches=remove_branches, remove_backedges=True)
+        remove_branches=remove_branches, remove_backedges=True,
+        remove_tips=remove_tips, max_tip_len=max_tip_len)
     g = sr_graph.build_digraph(table, labels, keep, ws.n)
     order = np.lexsort((g.v, g.sortkey, g.u))
     n_merged += _merge_edge_list(g, order)
 
     out.emit_trivial()
-    nws = out.finish("merge_it", extra=f"{n_merged} merges")
+    nws = out.finish("merge_it", extra=f"{n_merged} merges", table=table)
     return nws, n_merged
 
 

@@ -44,7 +44,8 @@ def extend_contigs(contigs: ReadSet, cfg: Config, *,
             ws, n_merged = srcore.merge_iteration(
                 ws, cfg, min_overlap_len=mol,
                 edge_threshold=sb.edge_threshold, merge_eps=1e-6,
-                remove_branches=sb.remove_branches)
+                remove_branches=sb.remove_branches,
+                remove_tips=True, max_tip_len=sb.max_tip_len)
             if n_merged == 0 or ws.n == prev:
                 stable += 1
                 if stable >= 2:

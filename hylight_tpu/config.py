@@ -84,9 +84,9 @@ class ConsensusConfig:
     """
 
     rounds_long: int = 2        # LR polish rounds (HyLight.py:149-184 loop)
-    min_depth: int = 1
-    min_qual: float = 0.0       # posterior gate; reference emits N below min_qual
-    window: int = 512           # consensus window tile
+    min_depth: int = 1          # min coverage to change the draft (sub/indel)
+    min_qual: float = 0.0       # clique-consensus posterior gate; below it a
+    #                             column emits N (SRBuilder consensus_pos)
 
 
 @dataclass(frozen=True)
@@ -141,7 +141,9 @@ class StageBConfig:
     min_overlap_len: int = 300
     edge_threshold: float = 1.0
     min_contig_len: int = 150      # length filter before extension (HyLight.py:284)
-    max_read_len: int = 500000     # len_c
+    max_tip_len: int = 1000        # VQ removeTips runs in stage b (default
+    #                                true, ViralQuasispecies.cpp:85,322;
+    #                                --max_tip_len 1000, HyLight.py:320-323)
     remove_branches: bool = True
 
 

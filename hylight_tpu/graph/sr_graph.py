@@ -238,16 +238,32 @@ def tip_removal(g: DiGraph, max_tip_len: int
 # ---------------------------------------------------------------------------
 # cycleRemovalHeuristic (GraphAlgos.cpp:352-541)
 
-def back_edge_mask(g: DiGraph) -> np.ndarray:
-    """Back edges found by one deterministic DFS in sortEdges order
-    (adjacency sorted by non-overlap length, target-id tiebreak —
-    OverlapGraph.cpp:722-764). The reference tries <=20 shuffled orders and
-    keeps the fewest back edges (GraphAlgos.cpp:508-541); we run the single
-    canonical order to stay deterministic (SURVEY.md §7.4)."""
+def back_edge_mask(g: DiGraph, score: Optional[np.ndarray] = None,
+                   mism: Optional[np.ndarray] = None,
+                   tries: int = 20) -> np.ndarray:
+    """Back edges to delete, best of ``tries`` DFS neighbor orders
+    (cycleRemovalHeuristic, GraphAlgos.cpp:487-541): try 1 orders
+    out-neighbors by ascending start offset (pos1), 2 by descending score,
+    3 by descending overlap length, 4 by ascending mismatch rate, further
+    tries shuffle with fixed seeds; the try leaving the fewest back edges
+    wins (early exit at zero). Runs in native C++
+    (graphcore.hl_find_backedges); without the native lib it falls back to
+    one deterministic DFS in sortEdges order (OverlapGraph.cpp:722-764).
+
+    score/mism are per-edge arrays aligned with g (strategy keys 2 and 4);
+    when absent those strategies reuse the overlap length / offset keys."""
     E = g.n_edges
     back = np.zeros(E, dtype=bool)
     if E == 0:
         return back
+    if tries > 1:
+        from hylight_tpu import native
+        k2 = score if score is not None else g.ovlen
+        k4 = mism if mism is not None else g.ext_u
+        res = native.find_backedges(g.u, g.v, g.ext_u, k2, g.ovlen, k4,
+                                    g.n, max_tries=tries)
+        if res is not None:
+            return res
     order = np.lexsort((g.v, g.sortkey, g.u))
     us = g.u[order]
     start = np.searchsorted(us, np.arange(g.n + 1))
@@ -392,7 +408,15 @@ def clean_graph(table, labels: np.ndarray, keep: np.ndarray, *,
 
     if remove_backedges:
         g = build_digraph(table, labels, keep, n)
-        rm = back_edge_mask(g)
+        rm = back_edge_mask(g, score=_edge_score(table, g),
+                            mism=1.0 - table.identity[g.eidx])
         keep[g.eidx[rm]] = False
 
     return keep, tip_read
+
+
+def _edge_score(table, g: DiGraph) -> np.ndarray:
+    sc = getattr(table, "score", None)
+    if sc is None:
+        return g.ovlen.astype(np.float64)
+    return np.asarray(sc)[g.eidx].astype(np.float64)

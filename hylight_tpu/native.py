@@ -120,3 +120,58 @@ def parse_fastx_native(path: str, fmt: str, keep_qual: bool):
                        qual=qual if has_q else None, names=names)
     finally:
         lib.hl_fastx_free(h)
+
+
+def label_orientations(eu: np.ndarray, ev: np.ndarray, parity: np.ndarray,
+                       n: int, max_tries: int = 100):
+    """Multi-try BFS orientation labelling (vertexLabellingHeuristic,
+    GraphAlgos.cpp:178-248). Returns (labels int8[n], n_conflicts) or None
+    when the native library is unavailable."""
+    lib = load()
+    if lib is None or not hasattr(lib, "hl_label_orientations"):
+        return None
+    lib.hl_label_orientations.restype = ctypes.c_longlong
+    lib.hl_label_orientations.argtypes = [ctypes.c_void_p] * 3 + \
+        [ctypes.c_longlong] * 3 + [ctypes.c_void_p]
+    eu = np.ascontiguousarray(eu, dtype=np.int32)
+    ev = np.ascontiguousarray(ev, dtype=np.int32)
+    parity = np.ascontiguousarray(parity, dtype=np.uint8)
+    labels = np.zeros(n, dtype=np.int8)
+    conf = lib.hl_label_orientations(
+        eu.ctypes.data_as(ctypes.c_void_p),
+        ev.ctypes.data_as(ctypes.c_void_p),
+        parity.ctypes.data_as(ctypes.c_void_p),
+        len(eu), n, max_tries,
+        labels.ctypes.data_as(ctypes.c_void_p))
+    return labels, int(conf)
+
+
+def find_backedges(eu: np.ndarray, ev: np.ndarray, key_pos: np.ndarray,
+                   key_score: np.ndarray, key_ovlen: np.ndarray,
+                   key_mism: np.ndarray, n: int, max_tries: int = 20):
+    """Multi-try DFS back-edge detection (cycleRemovalHeuristic,
+    GraphAlgos.cpp:352-541). Returns bool[E] mask of the best try's back
+    edges, or None when the native library is unavailable."""
+    lib = load()
+    if lib is None or not hasattr(lib, "hl_find_backedges"):
+        return None
+    lib.hl_find_backedges.restype = ctypes.c_longlong
+    lib.hl_find_backedges.argtypes = [ctypes.c_void_p] * 6 + \
+        [ctypes.c_longlong] * 3 + [ctypes.c_void_p]
+    eu = np.ascontiguousarray(eu, dtype=np.int32)
+    ev = np.ascontiguousarray(ev, dtype=np.int32)
+    k1 = np.ascontiguousarray(key_pos, dtype=np.float64)
+    k2 = np.ascontiguousarray(key_score, dtype=np.float64)
+    k3 = np.ascontiguousarray(key_ovlen, dtype=np.float64)
+    k4 = np.ascontiguousarray(key_mism, dtype=np.float64)
+    back = np.zeros(len(eu), dtype=np.uint8)
+    lib.hl_find_backedges(
+        eu.ctypes.data_as(ctypes.c_void_p),
+        ev.ctypes.data_as(ctypes.c_void_p),
+        k1.ctypes.data_as(ctypes.c_void_p),
+        k2.ctypes.data_as(ctypes.c_void_p),
+        k3.ctypes.data_as(ctypes.c_void_p),
+        k4.ctypes.data_as(ctypes.c_void_p),
+        len(eu), n, max_tries,
+        back.ctypes.data_as(ctypes.c_void_p))
+    return back.astype(bool)

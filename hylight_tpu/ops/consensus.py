@@ -13,15 +13,22 @@ mapping (seed->chain, reusing the overlap engine ops) and the voting:
   coverage - explicit_votes (coverage from chain extents);
 - per column the winning base is argmax(2*votes + 1[draft]) — draft wins
   ties — and zero-coverage columns keep the draft base (racon's
-  ``--no-trimming -u`` behavior of emitting unpolished windows).
+  ``--no-trimming -u`` behavior of emitting unpolished windows);
+- INDEL repair (the racon capability the round-1 kernel lacked): every
+  UNEQUAL inter-anchor gap (dq != dt) pins a draft indel between two exact
+  anchors. The divergence point p* (first read-vs-draft mismatch in the
+  gap) localizes it: dq > dt means the draft is missing read bases —
+  an insertion vote (position, base) before the divergence column; dq < dt
+  means the draft carries extra bases — a deletion vote on the divergence
+  column. One base per gap per round; multi-base indels converge over
+  the iterated rounds (each round realigns against the updated draft).
+  A >1/3-of-coverage threshold (not 1/2) admits an indel because '+' and
+  '-' strand reads scan a multi-base divergence from opposite ends and can
+  split their votes across the two run edges (homopolymer runs agree).
 
-Substitution-only: draft indel errors are not corrected by this kernel (the
-drafts come from corrected reads; an indel-capable banded-DP polish is the
-planned upgrade, SURVEY.md §7.2).
-
-Votes accumulate on device into a flat [total_contig_len] buffer via
+Votes accumulate on device into flat [total_contig_len] buffers via
 scatter-add, so host traffic per round is O(total contig length), not
-O(votes).
+O(votes); the final variable-length splice is one vectorized host pass.
 """
 
 from __future__ import annotations
@@ -45,20 +52,26 @@ log = get_logger()
 
 
 @functools.partial(jax.jit, static_argnames=("k", "gap_tile"),
-                   donate_argnums=(2, 3))
-def _vote_kernel(ch: Chains, seqs: jax.Array, votes: jax.Array,
-                 cov_diff: jax.Array, t_offsets: jax.Array, valid: jax.Array,
+                   donate_argnums=(3, 4, 5, 6))
+def _vote_kernel(ch: Chains, seqs: jax.Array, tseqs: jax.Array,
+                 votes: jax.Array, cov_diff: jax.Array,
+                 ins_votes: jax.Array, del_votes: jax.Array,
+                 t_offsets: jax.Array, t_off_row, valid: jax.Array,
                  *, k: int, gap_tile: int):
     """Accumulate explicit votes + coverage diffs for one chain block.
 
-    votes: int32 [T * 4] flat (contig column, base) counts  (donated)
-    cov_diff: int32 [T + 1] interval-diff coverage buffer    (donated)
+    votes: int32 [T * 4] flat (contig column, base) counts   (donated)
+    cov_diff: int32 [T + 1] interval-diff coverage buffer     (donated)
+    ins_votes: int32 [(T+1) * 4] insertion (before-column, base) (donated)
+    del_votes: int32 [T + 1] deletion votes per column        (donated)
     t_offsets: int32 [n_rows] contig start offset per global row id
       (rows that are reads, not contigs, hold -1)
+    tseqs: uint8 [nt, Lt] contig base matrix (row tid - t_off_row)
     """
     P, A = ch.aq.shape
     G = gap_tile
     T4 = votes.shape[0]
+    Lt = tseqs.shape[1]
 
     dq = ch.aq[:, 1:] - ch.aq[:, :-1]
     dt = ch.at[:, 1:] - ch.at[:, :-1]
@@ -85,6 +98,66 @@ def _vote_kernel(ch: Chains, seqs: jax.Array, votes: jax.Array,
     key = jnp.where(ok, key, T4)  # OOB -> dropped
     votes = votes.at[key.reshape(-1)].add(1, mode="drop")
 
+    # ----- indel votes from UNEQUAL gaps -------------------------------
+    gq = dq - k
+    gt = dt - k
+    handle = link & (dq != dt) & (gq >= 0) & (gt >= 0) & \
+        (gq <= G) & (gt <= G)
+    inq = (j < gq[..., None]) & handle[..., None]
+    intt = (j < gt[..., None]) & handle[..., None]
+    qg = jnp.where(inq, seqs[ch.qid[:, None, None], qidx], 4)
+    # draft bases at the gap's adjusted-frame columns
+    tg_fwd_idx = jnp.clip(t_fwd, 0, Lt - 1)
+    tid_row = jnp.clip(ch.tid - t_off_row, 0, tseqs.shape[0] - 1)
+    tg_raw = tseqs[tid_row[:, None, None], tg_fwd_idx]
+    tg_adj = jnp.where((strand == 1) & (tg_raw < 4), 3 - tg_raw, tg_raw)
+    tg = jnp.where(intt & (t_fwd >= 0) & (t_fwd < tlen), tg_adj, 4)
+    both = (qg < 4) & (tg < 4)
+    scan = j < jnp.minimum(gq, gt)[..., None]
+    diffm = (qg != tg) & both & scan
+    has_diff = jnp.any(diffm, axis=-1)
+    p_star = jnp.where(has_diff, jnp.argmax(diffm, axis=-1),
+                       jnp.minimum(gq, gt)).astype(jnp.int32)
+    delta = gq - gt
+    t0_link = ch.at[:, :-1] + k                     # adjusted gap start
+    col_adj = t0_link + p_star
+    strand2 = ch.strand[:, None]
+    tlen2 = ch.tlen[:, None]
+    off2 = t_offsets[ch.tid][:, None]
+
+    # insertion: read base missing from the draft, before fwd column slot
+    b0 = jnp.take_along_axis(qg, jnp.clip(p_star, 0, G - 1)[..., None],
+                             axis=-1)[..., 0]
+    b0f = jnp.where((strand2 == 1) & (b0 < 4), 3 - b0, b0)
+    slot = jnp.where(strand2 == 1, tlen2 - col_adj, col_adj)
+    ins_ok = handle & (delta > 0) & (p_star < G) & (b0f < 4) & \
+        (slot > 0) & (slot < tlen2) & (off2 >= 0)
+    ikey = jnp.where(ins_ok, (off2 + slot) * 4 + b0f,
+                     ins_votes.shape[0])
+    ins_votes = ins_votes.at[ikey.reshape(-1)].add(1, mode="drop")
+
+    # deletion: the draft's extra column at the divergence point
+    dcol = jnp.where(strand2 == 1, tlen2 - 1 - col_adj, col_adj)
+    del_ok = handle & (delta < 0) & (p_star < G) & \
+        (dcol >= 0) & (dcol < tlen2) & (off2 >= 0)
+    dkey = jnp.where(del_ok, off2 + dcol, del_votes.shape[0])
+    del_votes = del_votes.at[dkey.reshape(-1)].add(1, mode="drop")
+
+    # suffix substitution votes: past the indel, read column j aligns draft
+    # column j - delta (single-indel model); voting these columns lets subs
+    # inside unequal gaps converge too (equal gaps never see them)
+    suff = handle[..., None] & \
+        (j >= (p_star + jnp.maximum(delta, 0))[..., None]) & \
+        (j < gq[..., None]) & (qg < 4)
+    c_adj = (t0_link - delta)[..., None] + j
+    c_rel = c_adj - t0_link[..., None]
+    suff = suff & (c_rel >= 0) & (c_rel < gt[..., None])
+    c_fwd = jnp.where(strand == 1, tlen - 1 - c_adj, c_adj)
+    bq_fwd = jnp.where((strand == 1) & (qg < 4), 3 - qg, qg)
+    skey = jnp.where(suff & (c_fwd >= 0) & (c_fwd < tlen) & (off >= 0),
+                     (off + c_fwd) * 4 + bq_fwd, T4)
+    votes = votes.at[skey.reshape(-1)].add(1, mode="drop")
+
     # coverage from chain extents (forward frame)
     ts_f = jnp.where(ch.strand == 1, ch.tlen - ch.te, ch.ts)
     te_f = jnp.where(ch.strand == 1, ch.tlen - ch.ts, ch.te)
@@ -94,7 +167,7 @@ def _vote_kernel(ch: Chains, seqs: jax.Array, votes: jax.Array,
     e_key = jnp.where(okc, o1 + te_f, cov_diff.shape[0])
     cov_diff = cov_diff.at[s_key].add(1, mode="drop")
     cov_diff = cov_diff.at[e_key].add(-1, mode="drop")
-    return votes, cov_diff
+    return votes, cov_diff, ins_votes, del_votes
 
 
 @jax.jit
@@ -112,16 +185,50 @@ def _consensus(votes4: jax.Array, cov_diff: jax.Array, draft: jax.Array):
     return jnp.where(keep_draft, draft, new)
 
 
+def _apply_indels(codes: np.ndarray, cov: np.ndarray, ins4: np.ndarray,
+                  del_v: np.ndarray, min_depth: int) -> np.ndarray:
+    """Vectorized splice of the per-column sub consensus with the admitted
+    insertion/deletion votes (one contig's slice of the flat buffers).
+
+    An indel is admitted when its votes exceed 1/3 of the local coverage
+    (see module docstring for why not 1/2) and coverage >= min_depth."""
+    T = len(codes)
+    if T == 0:
+        return codes
+    covc = np.maximum(cov, 0)
+    dele = (3 * del_v > covc) & (del_v >= 1) & (covc >= min_depth)
+    ins_tot = ins4.sum(axis=1)
+    cov_at = np.maximum(covc, np.roll(covc, 1))
+    ins = (3 * ins_tot > cov_at) & (ins_tot >= 1) & (cov_at >= min_depth)
+    ins[0] = False                       # no insert before the first column
+    if not dele.any() and not ins.any():
+        return codes
+    ins_base = ins4.argmax(axis=1).astype(np.uint8)
+    keep = ~dele
+    rep = keep.astype(np.int64) + ins.astype(np.int64)
+    out = np.empty(int(rep.sum()), dtype=np.uint8)
+    pos = np.cumsum(rep) - rep
+    out[pos[ins]] = ins_base[ins]
+    out[(pos + ins.astype(np.int64))[keep]] = codes[keep]
+    return out
+
+
 def polish_contigs(contigs: ReadSet, reads: ReadSet, *, cfg: OverlapConfig,
                    rounds: int = 1, query_block: int = 64,
                    min_identity: float = 0.75, min_len: int = 100,
-                   pairs_per_block: Optional[int] = None) -> ReadSet:
-    """Polish draft contigs with reads (racon-equivalent, round-iterated)."""
+                   pairs_per_block: Optional[int] = None,
+                   min_depth: int = 1, fix_indels: bool = True) -> ReadSet:
+    """Polish draft contigs with reads (racon-equivalent, round-iterated).
+
+    Indel repair converges one base per gap per round — callers polishing
+    indel-rich drafts should iterate (the pipeline's LR x2 + SR rounds
+    mirror ``HyLight.py:149-203``)."""
     for _ in range(max(rounds, 0)):
         contigs = _polish_round(contigs, reads, cfg=cfg,
                                 query_block=query_block,
                                 min_identity=min_identity, min_len=min_len,
-                                pairs_per_block=pairs_per_block)
+                                pairs_per_block=pairs_per_block,
+                                min_depth=min_depth, fix_indels=fix_indels)
     return contigs
 
 
@@ -131,7 +238,8 @@ def _round_up(x: int, m: int) -> int:
 
 def _polish_round(contigs: ReadSet, reads: ReadSet, *, cfg: OverlapConfig,
                   query_block: int, min_identity: float, min_len: int,
-                  pairs_per_block: Optional[int]) -> ReadSet:
+                  pairs_per_block: Optional[int], min_depth: int = 1,
+                  fix_indels: bool = True) -> ReadSet:
     if contigs.n == 0 or reads.n == 0:
         return contigs
     from hylight_tpu.overlap.engine import bucket_len
@@ -162,8 +270,11 @@ def _polish_round(contigs: ReadSet, reads: ReadSet, *, cfg: OverlapConfig,
                     cap=mcap_t)
     index = seed_mod.build_index(tm, t_off_row, max_occ=cfg.max_occ)
 
-    votes = jnp.zeros(T * 4 , dtype=jnp.int32)
+    votes = jnp.zeros(T * 4, dtype=jnp.int32)
     cov_diff = jnp.zeros(T + 1, dtype=jnp.int32)
+    ins_votes = jnp.zeros((T + 1) * 4, dtype=jnp.int32)
+    del_votes = jnp.zeros(T + 1, dtype=jnp.int32)
+    tseqs_d = jnp.asarray(ts_)
 
     B = min(query_block, nq)
     P = pairs_per_block or _round_up(B * 8, 256)
@@ -196,13 +307,23 @@ def _polish_round(contigs: ReadSet, reads: ReadSet, *, cfg: OverlapConfig,
                            max_gap=cfg.max_gap)
         maplen = jnp.maximum(ch.qe - ch.qs, ch.te - ch.ts)
         valid = ch.valid & (maplen >= min_len)
-        votes, cov_diff = _vote_kernel(ch, seqs, votes, cov_diff,
-                                       t_offsets_d, valid, k=cfg.k,
-                                       gap_tile=cfg.gap_tile)
+        votes, cov_diff, ins_votes, del_votes = _vote_kernel(
+            ch, seqs, tseqs_d, votes, cov_diff, ins_votes, del_votes,
+            t_offsets_d, t_off_row, valid, k=cfg.k, gap_tile=cfg.gap_tile)
 
     draft = jnp.asarray(np.concatenate([contigs.get(i) for i in range(nt)])
                         if nt else np.zeros(0, np.uint8))
     new_codes = np.asarray(_consensus(votes.reshape(T, 4), cov_diff, draft))
+    cov = np.cumsum(np.asarray(cov_diff)[:-1])
+    ins4 = np.asarray(ins_votes).reshape(T + 1, 4)[:T]
+    del_v = np.asarray(del_votes)[:T]
 
-    seqs_out = [new_codes[offsets[i]:offsets[i + 1]] for i in range(nt)]
+    seqs_out = []
+    for i in range(nt):
+        lo, hi = offsets[i], offsets[i + 1]
+        c = new_codes[lo:hi]
+        if fix_indels:
+            c = _apply_indels(c, cov[lo:hi], ins4[lo:hi], del_v[lo:hi],
+                              min_depth)
+        seqs_out.append(c)
     return ReadSet.from_seqs(seqs_out, names=list(contigs.names))

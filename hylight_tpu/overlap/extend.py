@@ -72,6 +72,69 @@ def _gather_t(seqs, tid, pos, strand, tlen, in_bounds):
     return jnp.where(in_bounds & (fwd >= 0) & (fwd < seqs.shape[1]), b, 4)
 
 
+_NIBBLE_SENTINEL = np.int32(0x44444444)   # 8 packed 'N' bases
+
+
+def _pack_nibbles(seqs: jax.Array, pad_words: int) -> jax.Array:
+    """Pack a [N, L] base matrix (values 0..4+) into int32 nibble words,
+    8 bases per word, with ``pad_words`` sentinel words on both sides.
+
+    Elementwise gathers of small elements are the overlap block's dominant
+    cost on TPU (~160 ms per 8.4M u8 gather at bench scale); gap windows
+    are CONTIGUOUS spans, so fetching whole nibble words cuts the gather
+    count 8x and the rest is VPU shifts."""
+    N, L = seqs.shape
+    Wn = (L + 7) // 8
+    s = jnp.minimum(seqs, 4).astype(jnp.int32)
+    s = jnp.pad(s, ((0, 0), (0, Wn * 8 - L)), constant_values=4)
+    s = s.reshape(N, Wn, 8)
+    sh = (jnp.arange(8, dtype=jnp.int32) * 4)[None, None, :]
+    packed = jnp.sum(s << sh, axis=-1).astype(jnp.int32)
+    return jnp.pad(packed, ((0, 0), (pad_words, pad_words)),
+                   constant_values=_NIBBLE_SENTINEL)
+
+
+def _extract_windows(packed: jax.Array, rid: jax.Array, start: jax.Array,
+                     G: int, pad_bases: int) -> jax.Array:
+    """[*, G] int32 base values (0..4) at forward columns start..start+G-1.
+
+    ``packed`` is a _pack_nibbles matrix whose column 0 is base index
+    ``-pad_bases``; ``start`` may be negative down to -pad_bases and large
+    up to L + pad_bases - G."""
+    W = ((G + 6) >> 3) + 1
+    s = start + pad_bases
+    w0 = s >> 3
+    off = s & 7
+    widx = jnp.arange(W, dtype=jnp.int32)
+    words = packed[rid[..., None], w0[..., None] + widx]      # [..., W]
+    j = jnp.arange(G, dtype=jnp.int32)
+    t = off[..., None] + j                                     # [..., G]
+    wsel = t >> 3
+    val = jnp.zeros(t.shape, jnp.int32)
+    for w in range(W):
+        val = val | jnp.where(wsel == w, words[..., w][..., None], 0)
+    return (val >> ((t & 7) * 4)) & 15
+
+
+def _gap_windows(qpacked, tpacked, qid, tid_row, strand, tlen, aq_s, at_s, *,
+                 k: int, G: int, pad_bases: int):
+    """Fetch the [P, AG, G] query/target gap windows from nibble-packed
+    matrices. Query columns q0 = aq_s + k + j ascend in the read; the
+    target's strand-adjusted columns map to a contiguous forward span too
+    (reversed for '-' rows), so one extraction + flip + complement serves
+    both strands."""
+    q_all = _extract_windows(qpacked, qid[:, None], aq_s + k, G, pad_bases)
+
+    t0 = at_s + k                                    # adjusted-frame start
+    minus = strand[:, None] == 1
+    fwd_start = jnp.where(minus, tlen[:, None] - G - t0, t0)
+    t_raw = _extract_windows(tpacked, tid_row[:, None], fwd_start, G,
+                             pad_bases)
+    t_rev = jnp.flip(t_raw, axis=-1)
+    t_rev = jnp.where(t_rev < 4, 3 - t_rev, t_rev)
+    return q_all, jnp.where(minus[..., None], t_rev, t_raw)
+
+
 def _banded_gap_matches(qgap: jax.Array, tgap: jax.Array, dmax: int
                         ) -> jax.Array:
     """Max matches (banded LCS) between per-link gap strings.
@@ -215,11 +278,17 @@ def extend_chains(ch: Chains, seqs: jax.Array, *, k: int, gap_tile: int,
         int_ = (j < gt_s[..., None]) & ver_s[..., None]
     else:
         inq = int_ = jnp.zeros_like(incol)
-    q_all = _gather_q(seqs, ch.qid[:, None, None], q0, incol | inq)
-    t_all = _gather_t(seqs_t, tid_row[:, None, None], t0, ch.strand[:, None],
-                      ch.tlen[:, None], incol | int_)
-    qb = jnp.where(incol, q_all, jnp.uint8(4))
-    tb = jnp.where(incol, t_all, jnp.uint8(4))
+    pad_bases = ((G + k) // 8 + 2) * 8
+    pad_words = pad_bases // 8
+    qpacked = _pack_nibbles(seqs, pad_words)
+    tpacked = qpacked if seqs_t is seqs else _pack_nibbles(seqs_t, pad_words)
+    q_raw, t_raw = _gap_windows(qpacked, tpacked, ch.qid, tid_row,
+                                ch.strand, ch.tlen, aq_s, at_s,
+                                k=k, G=G, pad_bases=pad_bases)
+    q_all = jnp.where(incol | inq, q_raw, 4)
+    t_all = jnp.where(incol | int_, t_raw, 4)
+    qb = jnp.where(incol, q_all, 4)
+    tb = jnp.where(incol, t_all, 4)
 
     both_acgt = (qb < 4) & (tb < 4) & incol
     eq = both_acgt & (qb == tb)
@@ -233,8 +302,8 @@ def extend_chains(ch: Chains, seqs: jax.Array, *, k: int, gap_tile: int,
         # banded alignment of the two gap strings; min(gq, gt) columns
         # become verified (N columns count as mismatch here), |gq-gt|
         # stays in the indel term.
-        qgap = jnp.where(inq, q_all, jnp.uint8(4))
-        tgap = jnp.where(int_, t_all, jnp.uint8(4))
+        qgap = jnp.where(inq, q_all, 4)
+        tgap = jnp.where(int_, t_all, 4)
         m_u = _banded_gap_matches(qgap, tgap, max_indel_band)   # [P, AG]
         matches = matches + jnp.sum(
             jnp.where(ver_s, m_u, 0), axis=1).astype(jnp.int32)

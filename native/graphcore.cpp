@@ -15,6 +15,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <numeric>
 #include <vector>
 
 extern "C" {
@@ -192,6 +193,212 @@ int64_t hl_max_cliques_degeneracy(const int64_t* adj_start,
   // first slot convention: caller reads total length from return via second
   // call contract; we return clique count and rely on [len, ...] records.
   return ctx.n_cliques;
+}
+
+}  // extern "C"  (reopened below — templates need C++ linkage)
+
+// ---------------------------------------------------------------------------
+// Multi-try heuristics (GraphAlgos.cpp:178-248 vertexLabellingHeuristic and
+// :352-541 cycleRemovalHeuristic): the reference tries up to 100 shuffled
+// BFS labellings / 20 DFS neighbor orders and keeps the variant deleting the
+// fewest edges. Deterministic xorshift rng per try (fixed seeds).
+
+namespace {
+
+struct XorShift {
+  uint64_t s;
+  explicit XorShift(uint64_t seed) : s(seed * 2654435769u + 1) {}
+  uint64_t next() {
+    s ^= s << 13;
+    s ^= s >> 7;
+    s ^= s << 17;
+    return s;
+  }
+  int64_t bounded(int64_t n) { return (int64_t)(next() % (uint64_t)n); }
+};
+
+template <typename T>
+void fisher_yates(std::vector<T>& v, XorShift& rng) {
+  for (int64_t i = (int64_t)v.size() - 1; i > 0; i--) {
+    std::swap(v[i], v[(size_t)rng.bounded(i + 1)]);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// BFS orientation labelling, best of max_tries (conflict-minimizing).
+// Edges are undirected with a parity bit (0 = same orientation, 1 = flip).
+// Returns the best try's conflict count; labels_out[n] gets 0/1 labels.
+int64_t hl_label_orientations(const int32_t* eu, const int32_t* ev,
+                              const uint8_t* parity, int64_t n_edges,
+                              int64_t n, int64_t max_tries,
+                              int8_t* labels_out) {
+  // CSR over both directions
+  std::vector<int64_t> deg(n, 0);
+  for (int64_t e = 0; e < n_edges; e++) {
+    deg[eu[e]]++;
+    deg[ev[e]]++;
+  }
+  std::vector<int64_t> start(n + 1, 0);
+  for (int64_t i = 0; i < n; i++) start[i + 1] = start[i] + deg[i];
+  std::vector<int32_t> nbr(start[n]), par(start[n]);
+  std::vector<int64_t> cur(start.begin(), start.end() - 1);
+  for (int64_t e = 0; e < n_edges; e++) {
+    nbr[cur[eu[e]]] = ev[e];
+    par[cur[eu[e]]++] = parity[e];
+    nbr[cur[ev[e]]] = eu[e];
+    par[cur[ev[e]]++] = parity[e];
+  }
+
+  // seed order: increasing degree, id tiebreak (sortVerticesByIndegree)
+  std::vector<int32_t> seed_order(n);
+  std::iota(seed_order.begin(), seed_order.end(), 0);
+  std::stable_sort(seed_order.begin(), seed_order.end(),
+                   [&](int32_t a, int32_t b) { return deg[a] < deg[b]; });
+
+  std::vector<int8_t> best(n, 0), lab(n);
+  int64_t best_conf = -1;
+  std::vector<int32_t> queue;
+  queue.reserve(n);
+  std::vector<std::pair<int32_t, int8_t>> adj_scratch;
+  for (int64_t t = 1; t <= max_tries; t++) {
+    XorShift rng((uint64_t)t);
+    std::fill(lab.begin(), lab.end(), (int8_t)-1);
+    std::vector<int32_t> seeds = seed_order;
+    if (t > 1) fisher_yates(seeds, rng);
+    for (int32_t s0 : seeds) {
+      if (lab[s0] >= 0) continue;
+      lab[s0] = 0;
+      queue.clear();
+      queue.push_back(s0);
+      for (size_t qi = 0; qi < queue.size(); qi++) {
+        int32_t u = queue[qi];
+        adj_scratch.clear();
+        for (int64_t i = start[u]; i < start[u + 1]; i++)
+          adj_scratch.push_back({nbr[i], (int8_t)par[i]});
+        if (t > 1) fisher_yates(adj_scratch, rng);
+        for (auto& [v, p] : adj_scratch) {
+          if (lab[v] < 0) {
+            lab[v] = (int8_t)(lab[u] ^ p);
+            queue.push_back(v);
+          }
+        }
+      }
+    }
+    int64_t conf = 0;
+    for (int64_t e = 0; e < n_edges; e++)
+      conf += ((lab[eu[e]] ^ lab[ev[e]]) != parity[e]);
+    if (best_conf < 0 || conf < best_conf) {
+      best_conf = conf;
+      best = lab;
+    }
+    if (best_conf == 0) break;
+  }
+  std::memcpy(labels_out, best.data(), (size_t)n);
+  return best_conf;
+}
+
+// Multi-try DFS back-edge detection on a directed graph. Neighbor-order
+// strategies per GraphAlgos.cpp:352-485: t=1 ascending key1 (pos1),
+// t=2 descending key2 (score), t=3 descending key3 (ovlen), t=4 ascending
+// key4 (mismatch rate), t>=5 random shuffle; id tiebreak throughout.
+// Seeds in increasing-indegree order. back_out[e]=1 marks the best try's
+// back edges; returns their count.
+int64_t hl_find_backedges(const int32_t* eu, const int32_t* ev,
+                          const double* key1, const double* key2,
+                          const double* key3, const double* key4,
+                          int64_t n_edges, int64_t n, int64_t max_tries,
+                          uint8_t* back_out) {
+  std::vector<int64_t> outdeg(n, 0), indeg(n, 0);
+  for (int64_t e = 0; e < n_edges; e++) {
+    outdeg[eu[e]]++;
+    indeg[ev[e]]++;
+  }
+  std::vector<int64_t> start(n + 1, 0);
+  for (int64_t i = 0; i < n; i++) start[i + 1] = start[i] + outdeg[i];
+  std::vector<int64_t> base_adj(start[n]);  // edge ids, CSR by source
+  {
+    std::vector<int64_t> cur(start.begin(), start.end() - 1);
+    for (int64_t e = 0; e < n_edges; e++) base_adj[cur[eu[e]]++] = e;
+  }
+  std::vector<int32_t> seed_order(n);
+  std::iota(seed_order.begin(), seed_order.end(), 0);
+  std::stable_sort(seed_order.begin(), seed_order.end(),
+                   [&](int32_t a, int32_t b) { return indeg[a] < indeg[b]; });
+
+  std::vector<uint8_t> best(n_edges, 0), curmask(n_edges, 0);
+  int64_t best_count = -1;
+  std::vector<int64_t> adj(base_adj);
+  std::vector<int8_t> state(n);           // 0 white, 1 on-path, 2 done
+  std::vector<std::pair<int32_t, int64_t>> stack;  // (node, cursor)
+  for (int64_t t = 1; t <= max_tries; t++) {
+    adj = base_adj;
+    auto sort_adj = [&](auto cmp) {
+      for (int64_t v = 0; v < n; v++)
+        std::sort(adj.begin() + start[v], adj.begin() + start[v + 1], cmp);
+    };
+    if (t == 1)
+      sort_adj([&](int64_t a, int64_t b) {
+        return key1[a] != key1[b] ? key1[a] < key1[b] : ev[a] < ev[b];
+      });
+    else if (t == 2)
+      sort_adj([&](int64_t a, int64_t b) {
+        return key2[a] != key2[b] ? key2[a] > key2[b] : ev[a] < ev[b];
+      });
+    else if (t == 3)
+      sort_adj([&](int64_t a, int64_t b) {
+        return key3[a] != key3[b] ? key3[a] > key3[b] : ev[a] < ev[b];
+      });
+    else if (t == 4)
+      sort_adj([&](int64_t a, int64_t b) {
+        return key4[a] != key4[b] ? key4[a] < key4[b] : ev[a] < ev[b];
+      });
+    else {
+      XorShift rng((uint64_t)t);
+      for (int64_t v = 0; v < n; v++) {
+        for (int64_t i = start[v + 1] - 1; i > start[v]; i--) {
+          std::swap(adj[i], adj[start[v] + rng.bounded(i - start[v] + 1)]);
+        }
+      }
+    }
+    std::fill(state.begin(), state.end(), 0);
+    std::fill(curmask.begin(), curmask.end(), 0);
+    int64_t count = 0;
+    for (int32_t s0 : seed_order) {
+      if (state[s0]) continue;
+      stack.clear();
+      stack.push_back({s0, start[s0]});
+      state[s0] = 1;
+      while (!stack.empty()) {
+        auto& [node, curi] = stack.back();
+        if (curi >= start[node + 1]) {
+          state[node] = 2;
+          stack.pop_back();
+          continue;
+        }
+        int64_t e = adj[curi++];
+        int32_t w = ev[e];
+        if (state[w] == 1) {
+          if (!curmask[e]) {
+            curmask[e] = 1;
+            count++;
+          }
+        } else if (state[w] == 0) {
+          state[w] = 1;
+          stack.push_back({w, start[w]});
+        }
+      }
+    }
+    if (best_count < 0 || count < best_count) {
+      best_count = count;
+      best = curmask;
+    }
+    if (best_count == 0) break;
+  }
+  std::memcpy(back_out, best.data(), (size_t)n_edges);
+  return best_count;
 }
 
 }  // extern "C"

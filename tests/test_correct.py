@@ -35,7 +35,8 @@ def test_sr_correction_fixes_errors(rng):
         f"{remaining} of {err_total} errors left"
 
 
-def test_sr_correction_k25(rng):
+def test_sr_correction_k25():
+    rng = np.random.default_rng(104)
     """k > 16 path: two-lane uint64 codes + hashed membership (the
     reference's bfc uses k~25; config default sr_k=25 is honored now)."""
     g = rng.integers(0, 4, size=2000).astype(np.uint8)
@@ -57,7 +58,8 @@ def test_sr_correction_k25(rng):
         f"{remaining} of {err_total} errors left"
 
 
-def test_spectrum_k25_exact(rng):
+def test_spectrum_k25_exact():
+    rng = np.random.default_rng(105)
     """uint64 spectrum codes are exact: a read set with a known k-mer
     multiset yields exactly the expected solid count."""
     g = rng.integers(0, 4, size=400).astype(np.uint8)

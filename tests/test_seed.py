@@ -103,7 +103,8 @@ def _candidates_selfjoin(seqs, min_anchors=4, bandwidth=64):
                                 max_len=int(padded.shape[1]))
 
 
-def test_self_join_matches_legacy_path(rng):
+def test_self_join_matches_legacy_path():
+    rng = np.random.default_rng(106)
     """The roll-based self-join must produce the same candidate pairs and
     anchor windows as collect_anchors(dedup_self) + group_candidates."""
     g = rng.integers(0, 4, size=4000).astype(np.uint8)
@@ -125,7 +126,8 @@ def test_self_join_matches_legacy_path(rng):
         assert oa == na, key
 
 
-def test_self_join_contained_and_revcomp(rng):
+def test_self_join_contained_and_revcomp():
+    rng = np.random.default_rng(107)
     g = rng.integers(0, 4, size=1000).astype(np.uint8)
     pairs = _valid_pairs(_candidates_selfjoin([g, g[200:500],
                                                revcomp_codes(g[300:900])]))
