@@ -24,8 +24,7 @@ import numpy as np
 from hylight_tpu.config import Config
 from hylight_tpu.io.readset import ReadSet
 from hylight_tpu.graph.string_graph import (
-    cut_tips, overlaps_to_arcs, pop_bubbles, transitive_reduction,
-    unitig_seqs, unitigs)
+    miniasm_clean, overlaps_to_arcs, unitig_seqs, unitigs)
 from hylight_tpu.ops.consensus import polish_contigs
 from hylight_tpu.overlap.engine import (find_overlaps,
                                         find_overlaps_streamed)
@@ -81,12 +80,17 @@ def coverage_trim(table, reads: ReadSet, *, min_dp: int,
     return ReadSet.from_seqs(new_seqs, quals=quals, names=names)
 
 
-def _layout(reads: ReadSet, cfg: Config, *, query_block: int) -> ReadSet:
-    """overlaps -> SNP filter -> string graph -> unitig contigs."""
+def _layout(reads: ReadSet, cfg: Config, *, query_block: int,
+            gfa_sink: Optional[List[str]] = None, mesh=None) -> ReadSet:
+    """overlaps -> SNP filter -> string graph -> unitig contigs.
+
+    gfa_sink: when given, the unitig-layout GFA text (miniasm
+    ``ma_ug_print`` parity, asm.c:77) is appended to it."""
     oc = cfg.overlap
     lay = cfg.layout
     table = find_overlaps_streamed(reads, cfg=oc, query_block=query_block,
-                                   chunk=cfg.parallel.stream_chunk)
+                                   chunk=cfg.parallel.stream_chunk,
+                                   mesh=mesh)
     if table.n:
         keep = snp_filter(table, mc=cfg.snp.mc, max_frac=cfg.snp.max_snp_frac,
                           long_reads=True)
@@ -108,12 +112,17 @@ def _layout(reads: ReadSet, cfg: Config, *, query_block: int) -> ReadSet:
     arcs, contained = overlaps_to_arcs(
         table, reads.n, min_ovlp=lay.min_match,
         max_hang=cfg.overlap.max_overhang, int_frac=lay.int_frac)
-    for _ in range(max(1, lay.rounds)):       # miniasm -n cleaning rounds
-        arcs = transitive_reduction(arcs)
-        arcs, dropped = cut_tips(arcs, max_ext=lay.min_unitig_reads)
-        arcs = pop_bubbles(arcs, max_dist=lay.bubble_dist)
+    # the full miniasm cleaning cascade (main.c:154-188): -n maps to the
+    # short-overlap drop rounds, -e to max_ext, -d to the bubble distance
+    arcs, dropped = miniasm_clean(
+        arcs, max_ext=lay.min_unitig_reads, bub_dist=lay.bubble_dist,
+        n_rounds=lay.rounds)
     utg = unitigs(arcs, drop_reads=contained | dropped)
-    return unitig_seqs(utg, reads)
+    out = unitig_seqs(utg, reads)
+    if gfa_sink is not None:
+        from hylight_tpu.graph.gfa import unitigs_to_gfa
+        gfa_sink.append(unitigs_to_gfa(utg, out, reads))
+    return out
 
 
 def _used_reads(reads: ReadSet, contigs: ReadSet, cfg: Config,
@@ -138,7 +147,9 @@ def _used_reads(reads: ReadSet, contigs: ReadSet, cfg: Config,
 def assemble_long_reads(lr: ReadSet, cfg: Config,
                         sr: Optional[ReadSet] = None, *,
                         pickup_rounds: int = 2,
-                        query_block: int = 64) -> ReadSet:
+                        query_block: int = 64,
+                        gfa_sink: Optional[List[str]] = None,
+                        mesh=None) -> ReadSet:
     """Full long-read path -> polished contigs (long_con_polished equivalent)."""
     contig_parts: List[ReadSet] = []
     remaining = lr
@@ -148,7 +159,8 @@ def assemble_long_reads(lr: ReadSet, cfg: Config,
         if remaining.n < 2:
             break
         with stage(f"lr_layout_r{rnd}"):
-            contigs = _layout(remaining, cfg, query_block=query_block)
+            contigs = _layout(remaining, cfg, query_block=query_block,
+                              gfa_sink=gfa_sink, mesh=mesh)
         log.info("[A::lr] round %d: %d reads -> %d contigs", rnd,
                  remaining.n, contigs.n)
         if contigs.n == 0:

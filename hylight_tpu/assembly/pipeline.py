@@ -47,6 +47,9 @@ class AssemblyOutputs:
     long_contigs: ReadSet
     short_stageb: ReadSet
     all_contigs: ReadSet
+    # per-layout-round unitig GFA texts (reference contigs{N}.gfa artifacts,
+    # HyLight.py:137-140 + miniasm ma_ug_print)
+    gfa: Optional[List[str]] = None
 
 
 def pair_units(rs: ReadSet) -> np.ndarray:
@@ -64,7 +67,8 @@ def pair_units(rs: ReadSet) -> np.ndarray:
 
 def hybrid_assemble(lr: ReadSet, sr: Optional[ReadSet], cfg: Config, *,
                     corrected: bool = False, query_block: int = 64,
-                    checkpoint_dir: Optional[str] = None) -> AssemblyOutputs:
+                    checkpoint_dir: Optional[str] = None,
+                    mesh=None) -> AssemblyOutputs:
     from hylight_tpu.io.checkpoint import Checkpointer
     ck = Checkpointer(checkpoint_dir)
 
@@ -91,10 +95,12 @@ def hybrid_assemble(lr: ReadSet, sr: Optional[ReadSet], cfg: Config, *,
                 ck.save("corrected_lr", lr)
 
     # 2. long-read contigs
+    gfa_sink: List[str] = []
     long_contigs = ck.load("long_contigs")
     if long_contigs is None:
         long_contigs = assemble_long_reads(lr, cfg, sr=sr,
-                                           query_block=query_block)
+                                           query_block=query_block,
+                                           gfa_sink=gfa_sink, mesh=mesh)
         ck.save("long_contigs", long_contigs)
 
     # 3-5. short-read clusters -> per-cluster strain assembly
@@ -106,7 +112,8 @@ def hybrid_assemble(lr: ReadSet, sr: Optional[ReadSet], cfg: Config, *,
             log.info("[P::pipeline] %d/%d short reads left for clustering",
                      leftover.n, sr.n)
             if leftover.n >= cfg.cluster.min_cluster_size:
-                cluster_contigs = _assemble_clusters(leftover, cfg)
+                cluster_contigs = _assemble_clusters(leftover, cfg,
+                                                     mesh=mesh)
         ck.save("cluster_contigs", cluster_contigs)
 
     # 6. stage-b over pooled cluster contigs
@@ -125,7 +132,7 @@ def hybrid_assemble(lr: ReadSet, sr: Optional[ReadSet], cfg: Config, *,
     final.names = [f"final_{i}" for i in range(final.n)]
     return AssemblyOutputs(final_contigs=final, long_contigs=long_contigs,
                            short_stageb=short_stageb,
-                           all_contigs=all_contigs)
+                           all_contigs=all_contigs, gfa=gfa_sink)
 
 
 def _leftover_short_reads(sr: ReadSet, contigs: ReadSet,
@@ -142,11 +149,13 @@ def _leftover_short_reads(sr: ReadSet, contigs: ReadSet,
     return sr.subset(np.nonzero(~used)[0])
 
 
-def _assemble_clusters(leftover: ReadSet, cfg: Config) -> ReadSet:
+def _assemble_clusters(leftover: ReadSet, cfg: Config,
+                       mesh=None) -> ReadSet:
     with stage("sr_cluster_overlaps"):
         table = find_overlaps_streamed(leftover, cfg=cfg.overlap_sr,
                                        query_block=256,
-                                       chunk=cfg.parallel.stream_chunk)
+                                       chunk=cfg.parallel.stream_chunk,
+                                       mesh=mesh)
         if table.n:
             keep = snp_filter(table, mc=cfg.snp.mc_short,
                               max_frac=cfg.snp.max_snp_frac,
@@ -206,8 +215,12 @@ def _assemble_clusters(leftover: ReadSet, cfg: Config) -> ReadSet:
 
 
 def write_outputs(out: AssemblyOutputs, outdir: str) -> None:
-    """Materialize the reference's four output files (README.md:89-97)."""
+    """Materialize the reference's four output files (README.md:89-97)
+    plus the per-round unitig GFA graphs (contigs{N}.gfa)."""
     os.makedirs(outdir, exist_ok=True)
+    for i, text in enumerate(out.gfa or []):
+        with open(os.path.join(outdir, f"contigs{i + 1}.gfa"), "w") as f:
+            f.write(text)
     write_fasta(os.path.join(outdir, "final_contigs.fa"), out.final_contigs)
     write_fasta(os.path.join(outdir, "long_con_polished.fa"),
                 out.long_contigs)

@@ -58,7 +58,10 @@ def config_from_args(a) -> Config:
     cfg = cfg.replace(
         overlap=OverlapConfig(min_ovlp_len=a.min_ovlp_len,
                               min_identity=a.min_identity),
+        # HyLight feeds --max_tip_len to miniasm -d, which IS the
+        # bubble-popping distance (main.c:51,90; SURVEY.md §2.2)
         layout=LayoutConfig(max_tip_len=a.max_tip_len,
+                            bubble_dist=a.max_tip_len,
                             rounds=3 if a.low_q else 1,
                             min_coverage=3 if a.low_q else 1),
         cluster=ClusterConfig(max_cluster_size=a.size),

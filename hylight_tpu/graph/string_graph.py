@@ -101,8 +101,14 @@ def overlaps_to_arcs(table: OverlapTable, n_reads: int, *,
 
     contained = np.zeros(n_reads, dtype=bool)
     if drop_contained:
+        # ma_sg_gen deletes the QCONT read of every hit (asm.c:34); minimap2
+        # ava emits both hit directions, so with exact ties (ql5==tl5 and
+        # ql3==tl3, e.g. duplicate reads) BOTH reads are deleted — the
+        # containment masks are therefore NOT mutually exclusive
         np.logical_or.at(contained, qid[q_cont], True)
-        np.logical_or.at(contained, tid[t_cont], True)
+        np.logical_or.at(contained,
+                         tid[(~internal) & (ql5 >= tl5) & (ql3 >= tl3)],
+                         True)
 
     d = dovetail & ~(contained[qid] | contained[tid])
     case_a = ql5 > tl5          # query sticks out left: arc q+ -> t(rev)
@@ -442,3 +448,224 @@ def unitig_seqs(utgs: List[Unitig], reads: ReadSet,
         names.append(f"utg{i:06d}" + ("c" if u.circular else "l")
                      + f" reads={len(u.verts)}")
     return ReadSet.from_seqs(seqs, names=names)
+
+
+# ---------------------------------------------------------------------------
+# miniasm-exact cleaning passes (asg.c:83-306) + the main.c stage order.
+# These mirror the reference's vertex-end classification byte for byte so
+# the golden differential test (tests/test_miniasm_golden.py) can compare
+# unitigs against the bundled miniasm binary on identical PAF input.
+
+ET_MERGEABLE, ET_TIP, ET_MULTI_OUT, ET_MULTI_NEI = 0, 1, 2, 3
+
+
+class _MutGraph:
+    """Mutable adjacency view over an ArcSet (arc + read deletion flags).
+
+    Adjacency preserves the (v, l)-sorted order — the same order miniasm's
+    radix sort leaves arcs in (ul ascending == ol descending per vertex)."""
+
+    def __init__(self, arcs: ArcSet):
+        a = arcs.sort()
+        self.arcs = a
+        self.n_reads = a.n_reads
+        self.alive = np.ones(len(a.v), dtype=bool)
+        self.read_del = np.zeros(a.n_reads, dtype=bool)
+        self.adj: List[List[int]] = [[] for _ in range(a.n_vtx)]
+        for i, v in enumerate(a.v):
+            self.adj[int(v)].append(i)
+
+    def live_out(self, v: int) -> List[int]:
+        a = self.arcs
+        return [i for i in self.adj[v]
+                if self.alive[i] and not self.read_del[a.w[i] >> 1]
+                and not self.read_del[a.v[i] >> 1]]
+
+    def del_read(self, r: int) -> None:
+        self.read_del[r] = True
+
+    def del_arc_pair(self, v: int, w: int) -> None:
+        """Delete arcs v->w and the twin w^1->v^1 (asg_arc_del both ways)."""
+        for i in self.adj[v]:
+            if self.arcs.w[i] == w:
+                self.alive[i] = False
+        for i in self.adj[w ^ 1]:
+            if self.arcs.w[i] == (v ^ 1):
+                self.alive[i] = False
+
+    def is_utg_end(self, v: int):
+        """asg_is_utg_end (asg.c:204-221): classify the unitig end at v by
+        v's predecessors (live arcs out of v^1). Returns (code, next)."""
+        preds = self.live_out(v ^ 1)
+        if len(preds) == 0:
+            return ET_TIP, -1
+        if len(preds) > 1:
+            return ET_MULTI_OUT, -1
+        nxt = int(self.arcs.w[preds[0]])
+        w = nxt ^ 1
+        if len(self.live_out(w)) != 1:
+            return ET_MULTI_NEI, nxt
+        return ET_MERGEABLE, nxt
+
+    def extend(self, v: int, max_ext: int):
+        """asg_extend (asg.c:223-236): walk forward from v while mergeable.
+        Returns (final code, path of vertices)."""
+        path = [v]
+        while True:
+            ret, nxt = self.is_utg_end(v ^ 1)
+            if ret != ET_MERGEABLE:
+                return ret, path
+            path.append(nxt)
+            v = nxt
+            max_ext -= 1
+            if max_ext <= 0:
+                return ET_MERGEABLE, path
+
+    def finish(self) -> Tuple[ArcSet, np.ndarray]:
+        a = self.arcs
+        keep = self.alive & ~self.read_del[a.v >> 1] & ~self.read_del[a.w >> 1]
+        return a.select(keep), self.read_del
+
+
+def cut_tips_asg(arcs: ArcSet, max_ext: int = 4
+                 ) -> Tuple[ArcSet, np.ndarray]:
+    """asg_cut_tip (asg.c:238-254): delete unitigs that start at a TIP end
+    and do not extend into a mergeable chain longer than max_ext reads."""
+    g = _MutGraph(arcs)
+    cnt = 0
+    for v in range(arcs.n_vtx):
+        if g.read_del[v >> 1]:
+            continue
+        if g.is_utg_end(v)[0] != ET_TIP:
+            continue
+        ret, path = g.extend(v, max_ext)
+        if ret == ET_MERGEABLE:
+            continue
+        for p in path:
+            g.del_read(p >> 1)
+        cnt += 1
+    if cnt:
+        log.info("[G::cut_tips] cut %d tips", cnt)
+    return g.finish()
+
+
+def cut_internal(arcs: ArcSet, max_ext: int = 1
+                 ) -> Tuple[ArcSet, np.ndarray]:
+    """asg_cut_internal (asg.c:256-272): delete short unitigs whose both
+    ends sit against multi-neighbor junctions."""
+    g = _MutGraph(arcs)
+    cnt = 0
+    for v in range(arcs.n_vtx):
+        if g.read_del[v >> 1]:
+            continue
+        if g.is_utg_end(v)[0] != ET_MULTI_NEI:
+            continue
+        ret, path = g.extend(v, max_ext)
+        if ret != ET_MULTI_NEI:
+            continue
+        for p in path:
+            g.del_read(p >> 1)
+        cnt += 1
+    if cnt:
+        log.info("[G::cut_internal] cut %d internal sequences", cnt)
+    return g.finish()
+
+
+def cut_biloop(arcs: ArcSet, max_ext: int = 4) -> ArcSet:
+    """asg_cut_biloop (asg.c:274-306): at v->...->x' with w->v and w->x,
+    delete the weaker of w's two arcs (only the w->x arc, when ov > ox)."""
+    g = _MutGraph(arcs)
+    cnt = 0
+    for v in range(arcs.n_vtx):
+        if g.read_del[v >> 1]:
+            continue
+        if g.is_utg_end(v)[0] != ET_MULTI_NEI:
+            continue
+        ret, path = g.extend(v, max_ext)
+        if ret != ET_MULTI_OUT:
+            continue
+        x = path[-1] ^ 1
+        preds = g.live_out(v ^ 1)
+        if not preds:
+            continue
+        w = int(g.arcs.w[preds[-1]]) ^ 1
+        ov = ox = 0
+        for i in g.live_out(w):
+            if g.arcs.w[i] == x:
+                ox = int(g.arcs.ol[i])
+            if g.arcs.w[i] == v:
+                ov = int(g.arcs.ol[i])
+        if ov == 0 and ox == 0:
+            continue
+        if ov > ox:
+            g.del_arc_pair(w, x)
+            cnt += 1
+    if cnt:
+        log.info("[G::cut_biloop] cut %d bi-loops", cnt)
+    a, _ = g.finish()
+    return a
+
+
+def arc_del_short(arcs: ArcSet, drop_ratio: float) -> Tuple[ArcSet, int]:
+    """asg_arc_del_short (asg.c:83-101): per vertex with >=2 out-arcs, drop
+    arcs whose overlap is shorter than drop_ratio x the longest overlap;
+    symmetry restored by dropping twins (asg_symm)."""
+    if len(arcs.v) == 0:
+        return arcs, 0
+    a = arcs.sort()
+    start, count = a.out_index()
+    best_ol = np.zeros(a.n_vtx, dtype=np.int64)
+    has = count > 0
+    # arcs sorted by (v, l) ascending => first arc has the LONGEST overlap
+    best_ol[has] = a.ol[start[has]]
+    thres = (best_ol * drop_ratio + 0.499).astype(np.int64)
+    mark = (count[a.v] >= 2) & (a.ol < thres[a.v])
+    n = int(mark.sum())
+    if n == 0:
+        return a, 0
+    # symmetric delete: also drop the twin arc (w^1 -> v^1) of marked arcs
+    NV = a.n_vtx
+    marked_twin_keys = np.unique((a.w[mark] ^ 1) * (2 * NV) + (a.v[mark] ^ 1))
+    keys = a.v * (2 * NV) + a.w
+    pos = np.searchsorted(marked_twin_keys, keys)
+    pos = np.clip(pos, 0, max(len(marked_twin_keys) - 1, 0))
+    twin_hit = marked_twin_keys[pos] == keys if len(marked_twin_keys) else \
+        np.zeros(len(keys), dtype=bool)
+    drop = mark | twin_hit
+    log.info("[G::del_short] removed %d short overlaps (r=%.2f)",
+             int(drop.sum()), drop_ratio)
+    return a.select(~drop), n
+
+
+def miniasm_clean(arcs: ArcSet, *, max_ext: int = 4, bub_dist: int = 50000,
+                  n_rounds: int = 2, min_drop: float = 0.5,
+                  max_drop: float = 0.7, final_drop: float = 0.8,
+                  fuzz: int = 1000) -> Tuple[ArcSet, np.ndarray]:
+    """The full miniasm graph-cleaning cascade in main.c:154-188 order:
+    transitive reduction -> tips+bubbles -> n_rounds+1 short-overlap drop
+    rounds (each followed by tips+bubbles when it removed arcs) ->
+    internal-seq and bi-loop cuts + tips + bubbles -> final aggressive
+    short-overlap drop. Returns (arcs, dropped-read mask)."""
+    arcs = transitive_reduction(arcs, fuzz=fuzz)
+    arcs, dropped = cut_tips_asg(arcs, max_ext)
+    arcs = pop_bubbles(arcs, max_dist=bub_dist)
+    n_rounds = max(n_rounds, 1)
+    for i in range(n_rounds + 1):
+        r = min_drop + (max_drop - min_drop) / n_rounds * i
+        arcs, n = arc_del_short(arcs, r)
+        if n:
+            arcs, d = cut_tips_asg(arcs, max_ext)
+            dropped |= d
+            arcs = pop_bubbles(arcs, max_dist=bub_dist)
+    arcs, d = cut_internal(arcs, 1)
+    dropped |= d
+    arcs = cut_biloop(arcs, max_ext)
+    arcs, d = cut_tips_asg(arcs, max_ext)
+    dropped |= d
+    arcs = pop_bubbles(arcs, max_dist=bub_dist)
+    arcs, n = arc_del_short(arcs, final_drop)
+    if n:
+        arcs, d = cut_tips_asg(arcs, max_ext)
+        dropped |= d
+        arcs = pop_bubbles(arcs, max_dist=bub_dist)
+    return arcs, dropped

@@ -62,13 +62,25 @@ def find_overlaps(reads: ReadSet, targets: Optional[ReadSet] = None, *,
                   snp_cap: int = 128,
                   cap_overlaps: bool = True,
                   use_pallas: Optional[bool] = None,
+                  mesh=None,
                   stats: Optional[EngineStats] = None) -> OverlapTable:
     """All-vs-all (targets=None) or set-vs-set overlap detection.
 
     Returned table ids: query ids index ``reads``; target ids index
     ``targets`` when given, else ``reads``.
+
+    mesh: a jax.sharding.Mesh with the 'shard' axis dispatches the
+    all-vs-all case to the multi-chip ring exchange
+    (parallel/sharded_overlap.make_ring_overlap_fn) — the reference's
+    nsplit file-sharding as a shard_map over ICI; per-shard tables merge
+    on host (the ``sort -k12`` reduce equivalent).
     """
     ava = targets is None
+    if mesh is not None and ava:
+        return _find_overlaps_mesh(reads, cfg=cfg, mesh=mesh,
+                                   pairs_per_block=pairs_per_block,
+                                   snp_cap=snp_cap,
+                                   cap_overlaps=cap_overlaps, stats=stats)
     tset = reads if ava else targets
     nq, nt = reads.n, tset.n
     if nq == 0 or nt == 0:
@@ -201,6 +213,79 @@ def _dedup_best_per_pair(table: OverlapTable) -> OverlapTable:
     return table.select(order[first])
 
 
+_MESH_FN_CACHE: Dict = {}
+
+
+def _find_overlaps_mesh(reads: ReadSet, *, cfg: OverlapConfig, mesh,
+                        pairs_per_block: Optional[int], snp_cap: int,
+                        cap_overlaps: bool,
+                        stats: Optional[EngineStats]) -> OverlapTable:
+    """All-vs-all overlaps over a device mesh (ring exchange)."""
+    import jax
+    from hylight_tpu.parallel.mesh import SHARD_AXIS, shard_rows
+    from hylight_tpu.parallel.sharded_overlap import make_ring_overlap_fn
+
+    nd = mesh.shape[SHARD_AXIS]
+    nq = reads.n
+    if nq < 2:
+        return _empty_table(snp_cap)
+    L = bucket_len(max(1, int(reads.lengths.max())))
+    N = _round_up(nq, nd)
+    seqs, lens = reads.to_padded(max_len=L)
+    if N > nq:                       # pad rows: no minimizers, no pairs
+        seqs = np.pad(seqs, ((0, N - nq), (0, 0)))
+        lens = np.pad(lens, (0, N - nq))
+    mcap = _round_up(int(2 * L / (cfg.w + 1)) + 64, 64)
+    n_loc = N // nd
+    P = pairs_per_block or _round_up(n_loc * 16, 256)
+
+    key = (id(mesh), cfg, mcap, P, snp_cap)
+    fn = _MESH_FN_CACHE.get(key)
+    if fn is None:
+        fn = make_ring_overlap_fn(mesh, cfg, mcap=mcap, max_pairs=P,
+                                  snp_cap=snp_cap)
+        _MESH_FN_CACHE[key] = fn
+    seqs_d = jax.device_put(jnp.asarray(seqs), shard_rows(mesh))
+    lens_d = jax.device_put(jnp.asarray(lens), shard_rows(mesh))
+    out, n_valid = fn(seqs_d, lens_d)
+
+    valid = np.asarray(out["valid"])
+    idx = np.nonzero(valid)[0]
+    strand = np.asarray(out["strand"])[idx].astype(np.int8)
+    tlen = np.asarray(out["tlen"])[idx]
+    ts_a = np.asarray(out["ts"])[idx]
+    te_a = np.asarray(out["te"])[idx]
+    table = OverlapTable(
+        qid=np.asarray(out["qid"])[idx],
+        tid=np.asarray(out["tid"])[idx],
+        strand=strand,
+        qs=np.asarray(out["qs"])[idx], qe=np.asarray(out["qe"])[idx],
+        ts=np.where(strand == 1, tlen - te_a, ts_a),
+        te=np.where(strand == 1, tlen - ts_a, te_a),
+        qlen=np.asarray(out["qlen"])[idx], tlen=tlen,
+        matches=np.asarray(out["matches"])[idx],
+        columns=np.asarray(out["columns"])[idx],
+        identity=np.asarray(out["identity"])[idx],
+        score=np.asarray(out["score"])[idx],
+        score2=np.asarray(out["score2"])[idx],
+        score3=np.asarray(out["score3"])[idx],
+        mm_q=np.asarray(out["mm_q"])[idx],
+        mm_t=np.asarray(out["mm_t"])[idx],
+        mm_qb=np.asarray(out["mm_qb"])[idx],
+        mm_tb=np.asarray(out["mm_tb"])[idx],
+        mm_mask=np.asarray(out["mm_mask"])[idx],
+    )
+    table = _dedup_best_per_pair(table)
+    if cap_overlaps and table.n > 0:
+        keep = cap_per_read(table.qid, table.tid, table.score,
+                            cfg.max_overlaps_per_read)
+        table = table.select(keep)
+    if stats is not None:
+        stats.blocks += nd
+        stats.overlaps = table.n
+    return table
+
+
 def _materialize(ch, ext, sc, t_off: int) -> OverlapTable:
     """Compact one block's valid overlaps to a host OverlapTable."""
     valid = np.asarray(sc.valid)
@@ -253,6 +338,7 @@ def find_overlaps_streamed(reads: ReadSet, *, cfg: OverlapConfig,
                            pairs_per_block: Optional[int] = None,
                            snp_cap: int = 128,
                            cap_overlaps: bool = True,
+                           mesh=None,
                            stats: Optional[EngineStats] = None
                            ) -> OverlapTable:
     """All-vs-all overlaps for read sets too large for one padded matrix.
@@ -270,7 +356,7 @@ def find_overlaps_streamed(reads: ReadSet, *, cfg: OverlapConfig,
         return find_overlaps(reads, cfg=cfg, query_block=query_block,
                              pairs_per_block=pairs_per_block,
                              snp_cap=snp_cap, cap_overlaps=cap_overlaps,
-                             stats=stats)
+                             mesh=mesh, stats=stats)
     n_chunks = math.ceil(n / chunk)
     parts = []
     for ci in range(n_chunks):

@@ -529,3 +529,150 @@ def group_candidates(a: Anchors, lens: jax.Array, *, bandwidth: int,
         n_winners=jnp.sum(is_winner.astype(jnp.int32)),
         aq=aq, at=at, amask=amask,
     )
+
+
+def roll_join_packed(h: jax.Array, tid2s: jax.Array, tpos: jax.Array, *,
+                     max_occ: int, bandwidth: int, max_len: int,
+                     n_reads: int, qshift: int = 15):
+    """Roll-based self-join over a hash-sorted entry list -> packed anchor
+    key arrays (key1 = qid*(2*n_reads)+pair2, key2 = band<<qshift|qpos,
+    payload tpos). Entries must be sorted by (hash, tid2s) so runs are
+    read-major; runs longer than max_occ must be pre-masked (tid2s = -1).
+
+    Used by the self-join block path and the minimizer-bucket all_to_all
+    exchange (each bucket device joins its hash range)."""
+    Nt = h.shape[0]
+    assert 2 * n_reads * ((3 * max_len) // bandwidth + 2) < (1 << 31)
+    assert max_len < (1 << qshift)
+    iota = jnp.arange(Nt, dtype=jnp.int32)
+    last = jnp.concatenate([h[1:] != h[:-1], jnp.ones(1, jnp.bool_)])
+    run_hi = jax.lax.cummin(jnp.where(last, iota, Nt - 1), reverse=True)
+    ok_i = tid2s >= 0
+    key1_l, key2_l, tpos_l = [], [], []
+    for d in range(1, max_occ):
+        t2_j = jnp.roll(tid2s, -d)
+        tpos_j = jnp.roll(tpos, -d)
+        in_run = (iota + d) <= run_hi
+        qid = tid2s >> 1
+        tid = t2_j >> 1
+        strand = ((tid2s ^ t2_j) & 1)
+        v = in_run & ok_i & (t2_j >= 0) & (qid < tid)
+        diag = jnp.where(strand == 1, tpos + tpos_j, tpos - tpos_j)
+        band = (diag + max_len) // bandwidth
+        key1_l.append(jnp.where(v, qid * (2 * n_reads) + tid * 2 + strand,
+                                INT_MAX))
+        key2_l.append(jnp.where(v, (band << qshift) | tpos, INT_MAX))
+        tpos_l.append(tpos_j)
+    return (jnp.concatenate(key1_l), jnp.concatenate(key2_l),
+            jnp.concatenate(tpos_l))
+
+
+def group_packed_candidates(key1: jax.Array, key2: jax.Array,
+                            tposf: jax.Array, lens: jax.Array, *,
+                            min_anchors: int, max_pairs: int,
+                            anchors_per_pair: int, n_reads: int, k: int,
+                            qshift: int = 15) -> Candidates:
+    """Band voting over packed anchor keys (the two-key flavor of
+    self_join_candidates's voting stage, reusable over arbitrary packed
+    anchor streams — e.g. anchors routed home by the bucket exchange)."""
+    P, A = max_pairs, anchors_per_pair
+    N = key1.shape[0]
+    key1, key2, tposf = jax.lax.sort((key1, key2, tposf), num_keys=2,
+                                     is_stable=False)
+    valid = key1 != INT_MAX
+    band = jnp.where(valid, key2 >> qshift, INT_MAX)
+    qpos = key2 & ((1 << qshift) - 1)
+
+    idx = jnp.arange(N, dtype=jnp.int32)
+    prev = jnp.maximum(idx - 1, 0)
+    new_run = (idx == 0) | (key1 != key1[prev]) | (band != band[prev])
+    last_run = jnp.concatenate([new_run[1:], jnp.ones(1, jnp.bool_)])
+    run_start = jax.lax.cummax(jnp.where(new_run, idx, 0))
+    run_end = jax.lax.cummin(jnp.where(last_run, idx, N - 1), reverse=True)
+    run_len = run_end - run_start + 1
+
+    R = min(max(8 * max_pairs, 4096), N)
+    thr = min(2, max(1, min_anchors))
+    is_cand = new_run & valid & (run_len >= thr)
+    cum = jnp.cumsum(is_cand.astype(jnp.int32))
+    target = jnp.arange(1, R + 1, dtype=jnp.int32)
+    lo = jnp.zeros((R,), jnp.int32)
+    hi = jnp.full((R,), N, jnp.int32)
+    for _ in range(int(N).bit_length()):
+        mid = (lo + hi) // 2
+        go = cum[jnp.minimum(mid, N - 1)] < target
+        lo = jnp.where(go, mid + 1, lo)
+        hi = jnp.where(go, hi, mid)
+    rs = jnp.minimum(lo, N - 1)
+    r_ok = (target <= cum[N - 1]) & is_cand[rs]
+    key1_r = jnp.where(r_ok, key1[rs], INT_MAX)
+    band_r = jnp.where(r_ok, band[rs], INT_MAX)
+    end_r = jnp.where(r_ok, run_end[rs], 0)
+    start_r = jnp.where(r_ok, rs, 0)
+    len_r = jnp.where(r_ok, end_r - start_r + 1, 0)
+
+    def roll_prev(x, fill):
+        return jnp.concatenate([jnp.full((1,), fill, x.dtype), x[:-1]])
+
+    def roll_next(x, fill):
+        return jnp.concatenate([x[1:], jnp.full((1,), fill, x.dtype)])
+
+    same_prev = (roll_prev(key1_r, INT_MAX) == key1_r) \
+        & (band_r - roll_prev(band_r, INT_MAX) == 1)
+    same_next = (roll_next(key1_r, INT_MAX) == key1_r) \
+        & (roll_next(band_r, INT_MAX) - band_r == 1)
+    merged = len_r + jnp.where(same_prev, roll_prev(len_r, 0), 0) \
+        + jnp.where(same_next, roll_next(len_r, 0), 0)
+    merged_start = jnp.where(same_prev, roll_prev(start_r, 0), start_r)
+    merged_end = jnp.where(same_next, roll_next(end_r, 0), end_r) + 1
+
+    mprev = jnp.where(same_prev, roll_prev(merged, 0), -1)
+    mnext = jnp.where(same_next, roll_next(merged, 0), -1)
+    is_winner = r_ok & (merged >= min_anchors) & (merged > mprev) \
+        & (merged >= mnext)
+
+    wrank = jnp.cumsum(is_winner.astype(jnp.int32)) - 1
+    wkey = jnp.where(is_winner & (wrank < P), wrank, INT_MAX)
+    ridx = jnp.arange(R, dtype=jnp.int32)
+    _, perm_w = jax.lax.sort((wkey, ridx), num_keys=1, is_stable=True)
+    sel = perm_w[:P]
+    sel_ok = is_winner[sel]
+
+    def compact(x, fill):
+        return jnp.where(sel_ok, x[sel], jnp.asarray(fill, x.dtype))
+
+    c_start = compact(merged_start, 0)
+    c_full = compact(merged_end - merged_start, 0)
+    c_len = jnp.minimum(c_full, A)
+    c_valid = sel_ok
+    c_n = compact(merged, 0)
+    c_key1 = compact(key1_r, INT_MAX)
+    c_qid = jnp.where(c_valid, c_key1 // (2 * n_reads), INT_MAX)
+    c_pair2 = jnp.where(c_valid, c_key1 - c_qid * (2 * n_reads), 0)
+    c_tid = jnp.where(c_valid, c_pair2 >> 1, INT_MAX)
+    qlen = jnp.where(c_valid, lens[jnp.where(c_valid, c_qid, 0)], 0) \
+        .astype(jnp.int32)
+    tlen = jnp.where(c_valid, lens[jnp.where(c_valid, c_tid, 0)], 0) \
+        .astype(jnp.int32)
+
+    ar = jnp.arange(A, dtype=jnp.int32)[None, :]
+    offs = (ar * c_full[:, None]) // jnp.maximum(c_len[:, None], 1)
+    gi = jnp.minimum(c_start[:, None] + offs, N - 1)
+    amask = (ar < c_len[:, None]) & c_valid[:, None]
+    aq = jnp.where(amask, qpos[gi], INT_MAX)
+    at = jnp.where(amask, tposf[gi], INT_MAX)
+    minus = (c_pair2 % 2)[:, None] == 1
+    at = jnp.where(amask & minus, tlen[:, None] - k - at, at)
+    aq, at, amaski = jax.lax.sort(
+        (aq, at, amask.astype(jnp.int32)), num_keys=2, is_stable=True,
+        dimension=1)
+    amask = amaski.astype(jnp.bool_)
+    return Candidates(
+        qid=c_qid, tid=c_tid,
+        strand=jnp.where(c_valid, c_pair2 % 2, 0),
+        qlen=qlen, tlen=tlen,
+        n_anchors=jnp.where(c_valid, c_n, 0),
+        valid=c_valid,
+        n_winners=jnp.sum(is_winner.astype(jnp.int32)),
+        aq=aq, at=at, amask=amask,
+    )

@@ -78,17 +78,29 @@ class OverlapTable:
         order = np.argsort(keys, kind="stable")
         return self.select(order)
 
-    def to_paf(self, names: Optional[List[str]] = None) -> str:
-        """14-col PAF + 3 score columns, for debugging/golden comparison."""
+    def to_paf(self, names: Optional[List[str]] = None,
+               symmetric: bool = False) -> str:
+        """14-col PAF + 3 score columns, for debugging/golden comparison.
+
+        symmetric=True also emits the swapped (target-as-query) duplicate
+        of every row — the shape minimap2 ava produces and what miniasm's
+        containment handling expects (ma_sg_gen deletes only the QCONT
+        side of each hit, asm.c:34)."""
         lines = []
         nm = (lambda i: names[i]) if names else (lambda i: str(i))
-        for i in range(self.n):
-            lines.append("\t".join(map(str, [
-                nm(self.qid[i]), self.qlen[i], self.qs[i], self.qe[i],
-                "-" if self.strand[i] else "+",
-                nm(self.tid[i]), self.tlen[i], self.ts[i], self.te[i],
-                self.matches[i], self.columns[i], 255,
-                f"{self.score[i]:.4f}", f"{self.score2[i]:.4f}",
-                f"{self.score3[i]:.4f}",
-            ])))
+        rows = [(self.qid, self.qlen, self.qs, self.qe,
+                 self.tid, self.tlen, self.ts, self.te)]
+        if symmetric:
+            rows.append((self.tid, self.tlen, self.ts, self.te,
+                         self.qid, self.qlen, self.qs, self.qe))
+        for qid, qlen, qs, qe, tid, tlen, ts, te in rows:
+            for i in range(self.n):
+                lines.append("\t".join(map(str, [
+                    nm(qid[i]), qlen[i], qs[i], qe[i],
+                    "-" if self.strand[i] else "+",
+                    nm(tid[i]), tlen[i], ts[i], te[i],
+                    self.matches[i], self.columns[i], 255,
+                    f"{self.score[i]:.4f}", f"{self.score2[i]:.4f}",
+                    f"{self.score3[i]:.4f}",
+                ])))
         return "\n".join(lines) + ("\n" if lines else "")

@@ -198,3 +198,155 @@ def make_ring_overlap_fn(mesh, cfg: OverlapConfig, *, mcap: int,
     fn = shard_map(step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
                    check_vma=False)
     return jax.jit(fn)
+
+
+def make_bucket_overlap_fn(mesh, cfg: OverlapConfig, *, mcap: int,
+                           max_pairs: int, n_reads: int, max_len: int,
+                           snp_cap: int = 64, axis: str = SHARD_AXIS,
+                           bucket_factor: float = 2.0,
+                           anchor_factor: float = 2.0):
+    """Minimizer-bucket all_to_all exchange (v3, the SURVEY.md §2.5 "bucket
+    by minimizer, route candidate pairs" mapping — the reference's
+    split_reads2 sharding rethought as routed collectives):
+
+      1. every device sketches its read shard and routes each minimizer
+         entry to the owner of its HASH bucket (hash % nd) via all_to_all;
+      2. each device sorts its hash range by (hash, read) — every hash run
+         is complete and read-major here — and forms ALL anchor pairs of
+         its range with the roll self-join (seed.roll_join_packed);
+      3. anchors route home to the owner of their smaller read id via a
+         second all_to_all, where band voting + chaining + extension run
+         (seed.group_packed_candidates); the read matrix all_gathers once
+         for base-level verification.
+
+    Static capacity: each routing step ships [nd, cap] slots per device;
+    entries over capacity are dropped and counted (psum'd overflow in the
+    returned stats dict) — capacity_factor sizes the slack, mirroring
+    ParallelConfig.bucket_capacity_factor.
+    """
+    import numpy as np
+    from hylight_tpu.overlap.seed import (INT_MAX, group_packed_candidates,
+                                          roll_join_packed)
+
+    nd = mesh.shape[axis]
+    qshift = 15
+
+    def step(seqs_l, lens_l):
+        me = jax.lax.axis_index(axis)
+        n_loc = seqs_l.shape[0]
+        qbase = (me * n_loc).astype(jnp.int32)
+        ms_l = minimizers(seqs_l, lens_l, k=cfg.k, w=cfg.w, cap=mcap)
+
+        # ---- 1. flatten local entries + route by hash bucket ----------
+        B, M = ms_l.hash.shape
+        rows = jax.lax.broadcasted_iota(jnp.int32, (B, M), 0)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1)
+        v0 = (slot < ms_l.count[:, None]) & (ms_l.pos >= 0)
+        h = jnp.where(v0, ms_l.hash, jnp.uint32(0xFFFFFFFF)).reshape(-1)
+        tid2s = ((rows + qbase) * 2 + ms_l.strand.astype(jnp.int32)) \
+            .reshape(-1)
+        tpos = ms_l.pos.reshape(-1)
+        n_ent = h.shape[0]
+        bucket = jnp.where(h == jnp.uint32(0xFFFFFFFF), jnp.uint32(nd),
+                           h % jnp.uint32(nd)).astype(jnp.int32)
+        cap = -(-int(n_ent * bucket_factor) // nd)
+        cap = -(-cap // 8) * 8
+        # sort by bucket; per-bucket fixed slots
+        bucket, h, tid2s, tpos = jax.lax.sort(
+            (bucket, h, tid2s, tpos), num_keys=1, is_stable=True)
+        starts = jnp.searchsorted(bucket, jnp.arange(nd, dtype=jnp.int32),
+                                  method="sort")
+        counts = jnp.searchsorted(bucket, jnp.arange(nd, dtype=jnp.int32),
+                                  side="right", method="sort") - starts
+        sl = jnp.arange(cap, dtype=jnp.int32)[None, :]
+        gi = jnp.minimum(starts[:, None] + sl, n_ent - 1)
+        ok = sl < counts[:, None]
+        ovf_b = jnp.sum(jnp.maximum(counts - cap, 0))
+        h_s = jnp.where(ok, h[gi], jnp.uint32(0xFFFFFFFF))
+        t2_s = jnp.where(ok, tid2s[gi], -1)
+        tp_s = jnp.where(ok, tpos[gi], 0)
+
+        a2a = functools.partial(jax.lax.all_to_all, axis_name=axis,
+                                split_axis=0, concat_axis=0, tiled=True)
+        h_r = a2a(h_s.reshape(-1))
+        t2_r = a2a(t2_s.reshape(-1))
+        tp_r = a2a(tp_s.reshape(-1))
+
+        # ---- 2. sort my hash range read-major; roll self-join ---------
+        h_r, t2_r, tp_r = jax.lax.sort(
+            (h_r, t2_r, tp_r), num_keys=2, is_stable=True)
+        # repeat mask (> max_occ) over complete runs
+        n_r = h_r.shape[0]
+        iota = jnp.arange(n_r, dtype=jnp.int32)
+        first = jnp.concatenate([jnp.ones(1, jnp.bool_),
+                                 h_r[1:] != h_r[:-1]])
+        run_lo = jax.lax.cummax(jnp.where(first, iota, 0))
+        last = jnp.concatenate([h_r[1:] != h_r[:-1],
+                                jnp.ones(1, jnp.bool_)])
+        run_hi = jax.lax.cummin(jnp.where(last, iota, n_r - 1),
+                                reverse=True)
+        occ_ok = (run_hi - run_lo + 1) <= cfg.max_occ
+        t2_r = jnp.where(occ_ok & (h_r != jnp.uint32(0xFFFFFFFF)),
+                         t2_r, -1)
+        key1, key2, tposf = roll_join_packed(
+            h_r, t2_r, tp_r, max_occ=cfg.max_occ, bandwidth=64,
+            max_len=max_len, n_reads=n_reads, qshift=qshift)
+
+        # ---- 3. route anchors home by smaller read id ------------------
+        n_anc = key1.shape[0]
+        owner = jnp.where(key1 == INT_MAX, nd,
+                          (key1 // (2 * n_reads)) // n_loc).astype(jnp.int32)
+        acap = -(-int(n_anc * anchor_factor) // nd)
+        acap = -(-acap // 8) * 8
+        owner, key1, key2, tposf = jax.lax.sort(
+            (owner, key1, key2, tposf), num_keys=1, is_stable=True)
+        astarts = jnp.searchsorted(owner, jnp.arange(nd, dtype=jnp.int32),
+                                   method="sort")
+        acounts = jnp.searchsorted(owner, jnp.arange(nd, dtype=jnp.int32),
+                                   side="right", method="sort") - astarts
+        asl = jnp.arange(acap, dtype=jnp.int32)[None, :]
+        agi = jnp.minimum(astarts[:, None] + asl, n_anc - 1)
+        aok = asl < acounts[:, None]
+        ovf_a = jnp.sum(jnp.maximum(acounts - acap, 0))
+        k1_r = a2a(jnp.where(aok, key1[agi], INT_MAX).reshape(-1))
+        k2_r = a2a(jnp.where(aok, key2[agi], INT_MAX).reshape(-1))
+        tf_r = a2a(jnp.where(aok, tposf[agi], 0).reshape(-1))
+
+        lens_g = jax.lax.all_gather(lens_l, axis_name=axis, axis=0,
+                                    tiled=True).astype(jnp.int32)
+        cand = group_packed_candidates(
+            k1_r, k2_r, tf_r, lens_g, min_anchors=cfg.min_anchors,
+            max_pairs=max_pairs, anchors_per_pair=cfg.anchors_per_pair,
+            n_reads=n_reads, k=cfg.k, qshift=qshift)
+        ch = refine_chains(cand, k=cfg.k, min_score=cfg.min_chain_score,
+                           max_gap=cfg.max_gap)
+        seqs_g = jax.lax.all_gather(seqs_l, axis_name=axis, axis=0,
+                                    tiled=True)
+        ext = extend_chains(ch, seqs_g, k=cfg.k, gap_tile=cfg.gap_tile,
+                            max_mismatch=snp_cap,
+                            max_indel_band=cfg.max_indel_band)
+        sc = admission_filter(ch, ext, min_len=cfg.min_ovlp_len,
+                              min_identity=cfg.min_identity,
+                              max_overhang=cfg.max_overhang,
+                              overhang_ratio=cfg.overhang_ratio)
+        n_valid = jax.lax.psum(jnp.sum(sc.valid.astype(jnp.int32)), axis)
+        overflow = jax.lax.psum(ovf_b + ovf_a, axis)
+        out = dict(qid=ch.qid, tid=ch.tid, strand=ch.strand,
+                   qlen=ch.qlen, tlen=ch.tlen, qs=ch.qs, qe=ch.qe,
+                   ts=ch.ts, te=ch.te, matches=ext.matches,
+                   columns=ext.columns + ext.unverified + ext.indels,
+                   identity=ext.identity, score=sc.score, score2=sc.score2,
+                   score3=sc.score3, valid=sc.valid,
+                   mm_q=ext.mm_q, mm_t=ext.mm_t, mm_qb=ext.mm_qb,
+                   mm_tb=ext.mm_tb, mm_mask=ext.mm_mask)
+        return out, n_valid, overflow
+
+    in_specs = (P(axis, None), P(axis))
+    out_specs = ({k: P(axis) for k in
+                  ["qid", "tid", "strand", "qlen", "tlen", "qs", "qe", "ts",
+                   "te", "matches", "columns", "identity", "score", "score2",
+                   "score3", "valid", "mm_q", "mm_t", "mm_qb", "mm_tb",
+                   "mm_mask"]}, P(), P())
+    fn = shard_map(step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_vma=False)
+    return jax.jit(fn)

@@ -228,6 +228,23 @@ void fisher_yates(std::vector<T>& v, XorShift& rng) {
 
 extern "C" {
 
+// Streaming per-read overlap cap (filter_trans_ovlp_inline_v4.py:74-83):
+// edges arrive score-descending; keep an edge iff BOTH endpoints are below
+// the cap, then charge both. keep_out[e] = 1 for kept edges.
+void hl_cap_per_read(const int64_t* order, const int32_t* qid,
+                     const int32_t* tid, int64_t n_edges, int64_t n_reads,
+                     int64_t cap, uint8_t* keep_out) {
+  std::vector<int32_t> counts(n_reads, 0);
+  for (int64_t i = 0; i < n_edges; i++) {
+    int64_t e = order[i];
+    int32_t a = qid[e], b = tid[e];
+    if (counts[a] >= cap || counts[b] >= cap) continue;
+    counts[a]++;
+    counts[b]++;
+    keep_out[e] = 1;
+  }
+}
+
 // BFS orientation labelling, best of max_tries (conflict-minimizing).
 // Edges are undirected with a parity bit (0 = same orientation, 1 = flip).
 // Returns the best try's conflict count; labels_out[n] gets 0/1 labels.

@@ -50,3 +50,19 @@ def test_rotating_logfile(tmp_path):
         h.flush()
     assert os.path.exists(lf)
     assert "hello stage" in open(lf).read()
+
+
+def test_write_outputs_emits_gfa(tmp_path):
+    """W7: the pipeline's GFA artifacts (contigs{N}.gfa, miniasm
+    ma_ug_print parity) are written next to the FASTA outputs."""
+    import numpy as np
+    from hylight_tpu.io.readset import ReadSet
+    from hylight_tpu.assembly.pipeline import AssemblyOutputs, write_outputs
+    rs = ReadSet.from_seqs([np.zeros(10, np.uint8)], names=["c0"])
+    out = AssemblyOutputs(final_contigs=rs, long_contigs=rs,
+                          short_stageb=rs, all_contigs=rs,
+                          gfa=["H\tVN:Z:1.0\nS\tu0\tAAAA\tLN:i:4\n"])
+    write_outputs(out, str(tmp_path))
+    gfa = (tmp_path / "contigs1.gfa").read_text()
+    assert gfa.startswith("H\tVN:Z:1.0")
+    assert "S\tu0" in gfa
