@@ -55,10 +55,10 @@ def _bench_size(n_reads):
     rs = ReadSet.from_seqs(_make_reads(rng, n_reads))
     seqs_np, lens_np = rs.to_padded(max_len=READ_LEN)
 
-    cfg = OverlapConfig(k=15, w=5, min_ovlp_len=2000, min_identity=0.9,
+    cfg = OverlapConfig(k=15, w=10, min_ovlp_len=2000, min_identity=0.9,
                         min_anchors=4, min_chain_score=100, max_occ=16,
                         anchors_per_pair=256, gap_tile=32)
-    fn = make_block_fn(cfg, mcap=2816, max_pairs=max(2048, 16 * n_reads),
+    fn = make_block_fn(cfg, mcap=1600, max_pairs=max(2048, 16 * n_reads),
                        snp_cap=64, n_reads=n_reads, max_len=READ_LEN)
 
     seqs = jnp.asarray(seqs_np)

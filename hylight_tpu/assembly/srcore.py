@@ -335,14 +335,21 @@ def consensus_group(ws: WorkingSet, labels: np.ndarray,
         seqs.append(s)
         quals.append(q)
     L = int(max(o + len(s) for o, s in zip(offs, seqs)))
-    votes = np.zeros((L, 4), dtype=np.int64)
+    # one concatenated bincount instead of per-member np.add.at (the
+    # per-clique host hot spot, VERDICT W3 / SRBuilder.cpp:958's OpenMP)
+    all_pos = np.concatenate(
+        [np.arange(o, o + len(s)) for o, s in zip(offs, seqs)])
+    all_base = np.concatenate(seqs).astype(np.int64)
+    all_qual = np.concatenate(quals).astype(np.int64)
+    ok = all_base < 4
+    votes = np.bincount(all_pos[ok] * 4 + all_base[ok],
+                        weights=all_qual[ok],
+                        minlength=L * 4).reshape(L, 4).astype(np.int64)
     support = np.zeros(L, dtype=np.int32)
-    for o, s, q in zip(offs, seqs, quals):
-        pos = np.arange(o, o + len(s))
-        ok = s < 4
-        np.add.at(votes, (pos[ok], s[ok].astype(np.int64)),
-                  q[ok].astype(np.int64))
-        support[o:o + len(s)] += 1
+    ends = np.zeros(L + 1, dtype=np.int32)
+    np.add.at(ends, offs, 1)
+    np.add.at(ends, offs + np.array([len(s) for s in seqs]), -1)
+    support = np.cumsum(ends[:-1]).astype(np.int32)
 
     total = votes.sum(axis=1)
     best_b = votes.argmax(axis=1).astype(np.uint8)
@@ -471,7 +478,9 @@ def clique_iteration(ws: WorkingSet, cfg: Config, *, min_overlap_len: int,
         remove_backedges=False)
     if thresholds is not None:
         keep = branch_reduction(table, ws, labels, keep, thresholds,
-                                diploid=diploid)
+                                diploid=diploid,
+                                careful=cfg.sr_core.careful,
+                                min_overlap_len=min_overlap_len)
     if not trim:  # remove_backedges = !error_correction (VQ :361-367)
         g = sr_graph.build_digraph(table, labels, keep, ws.n)
         back = sr_graph.back_edge_mask(
@@ -723,14 +732,32 @@ def branch_reduction(table: OverlapTable, ws: WorkingSet,
                      labels: np.ndarray, keep: np.ndarray,
                      thresholds: EvidenceThresholds,
                      orig: Optional[ReadSet] = None,
-                     diploid: bool = False) -> np.ndarray:
+                     diploid: bool = False, careful: bool = True,
+                     min_overlap_len: int = 0) -> np.ndarray:
     """Remove branch edges lacking unique original-read evidence at the
     branches' difference positions (readBasedBranchReduction,
     BranchReduction.cpp:41-227). Both out-branches (node with >=2
-    out-edges) and in-branches (>=2 in-edges) are evaluated. In diploid
-    mode a two-way branch keeps both edges when each has unique support and
-    the loads differ by at most 0.5x the threshold (typical-double-branch
-    rule, BranchReduction.cpp:1098-1168). Returns updated keep mask."""
+    out-edges) and in-branches (>=2 in-edges) are evaluated, with the
+    reference's full component machinery:
+
+    - an edge seen from both its in- and out-branch keeps the INTERSECTION
+      of the two evidence sets (:360-391);
+    - branch pairs whose relative offset leaves less than min_overlap_len
+      of shared span are MISSING (inclusion) edges: the earlier branch is
+      dropped from the event (dissolving two-way branches) and the event's
+      component is a false branch — all its edges removed and archived for
+      the next iteration (:447-463, the nonedge carry picks them up);
+    - branch events connected through shared nodes form components
+      evaluated together with component-wide unique evidence
+      (findBranchingComponents :745, countUniqueEvidence :1009-1096);
+    - careful mode (the VQ default, careful_diploid=true,
+      ViralQuasispecies.cpp:97): a component sharing a node with an
+      already-KEPT component is removed outright (:91-204's
+      neighboring-component suppression).
+
+    In diploid mode a two-edge component keeps both edges when each has
+    unique support and the loads differ by at most 0.5x the threshold
+    (typical-double-branch rule, :1098-1168). Returns updated keep mask."""
     orig_rs = orig if orig is not None else \
         (ws.ctx.orig if ws.ctx is not None else None)
     if orig_rs is None:
@@ -749,12 +776,101 @@ def branch_reduction(table: OverlapTable, ws: WorkingSet,
             out_edges.setdefault(t, []).append((q, -off, int(e)))
             in_edges.setdefault(q, []).append((t, off, int(e)))
 
-    drop = set()
+    # ---- per-event evidence (+ missing-edge detection) -----------------
+    events = []   # (hub, [(v, off, e)], is_out, ev per edge, dist, false?)
+    edge_evidence: Dict[int, set] = {}
     for hub, branches, is_out in \
-            [(u, o, True) for u, o in out_edges.items()] + \
-            [(v, i, False) for v, i in in_edges.items()]:
-        _reduce_branch(ws, orig_rs, labels, thresholds, drop,
-                       hub, branches, is_out, diploid)
+            [(u, o, True) for u, o in sorted(out_edges.items())] + \
+            [(v, i, False) for v, i in sorted(in_edges.items())]:
+        if len(branches) < 2:
+            continue
+        ev = _branch_event(ws, orig_rs, labels, hub, branches, is_out,
+                           min_overlap_len)
+        if ev is None:
+            continue
+        kept_branches, per_edge_ev, dist, has_missing = ev
+        for e, ids in per_edge_ev.items():
+            if e in edge_evidence:
+                edge_evidence[e] &= ids        # in/out intersection
+            else:
+                edge_evidence[e] = set(ids)
+        events.append((hub, kept_branches, dist, has_missing))
+
+    # ---- components over shared nodes ----------------------------------
+    comp_of: Dict[int, int] = {}
+
+    def find(x):
+        while comp_of.get(x, x) != x:
+            comp_of[x] = comp_of.get(comp_of[x], comp_of[x])
+            x = comp_of[x]
+        return x
+
+    comps: Dict[int, Dict] = {}
+    for ei, (hub, kept_branches, dist, has_missing) in enumerate(events):
+        nodes = [hub] + [v for v, _, _ in kept_branches]
+        roots = {find(n) for n in nodes if n in comp_of}
+        root = min(roots) if roots else min(nodes)
+        for r in list(roots):
+            comp_of[r] = root
+        for n in nodes:
+            comp_of.setdefault(n, root)
+            comp_of[find(n)] = root
+        c = comps.setdefault(root, dict(edges=set(), nodes=set(),
+                                        dist=0, false=False))
+        c["edges"].update(e for _, _, e in kept_branches)
+        c["nodes"].update(nodes)
+        c["dist"] = max(c["dist"], dist)
+        c["false"] = c["false"] or has_missing
+    # re-root after unions
+    merged: Dict[int, Dict] = {}
+    for root, c in comps.items():
+        r = find(root)
+        m = merged.setdefault(r, dict(edges=set(), nodes=set(),
+                                      dist=0, false=False))
+        m["edges"] |= c["edges"]
+        m["nodes"] |= c["nodes"]
+        m["dist"] = max(m["dist"], c["dist"])
+        m["false"] = m["false"] or c["false"]
+
+    drop = set()
+    kept_nodes: set = set()
+    for root in sorted(merged):
+        c = merged[root]
+        if c["false"]:
+            drop |= c["edges"]
+            continue
+        if careful and (c["nodes"] & kept_nodes):
+            drop |= c["edges"]               # neighboring-component suppress
+            continue
+        need = thresholds.min_ev(c["dist"])
+        edges = sorted(c["edges"])
+        # component-wide unique evidence: ids supporting >1 edge don't count
+        from collections import Counter
+        cnt = Counter(x for e in edges for x in edge_evidence.get(e, ()))
+        uniq = {e: sum(1 for x in edge_evidence.get(e, ()) if cnt[x] == 1)
+                for e in edges}
+        if diploid and len(edges) == 2:
+            e1, e2 = edges
+            u1, u2 = uniq[e1], uniq[e2]
+            if u1 > 0 and u2 > 0:
+                if abs(u1 - u2) > 0.5 * max(need, 1):
+                    drop.add(e2 if u1 > u2 else e1)
+                kept_nodes |= c["nodes"]
+                continue
+            if u1 > 0 or u2 > 0:
+                drop.add(e2 if u1 > 0 else e1)
+                kept_nodes |= c["nodes"]
+                continue
+            drop |= {e1, e2}
+            continue
+        any_kept = False
+        for e in edges:
+            if need <= 0 or uniq[e] >= need:
+                any_kept = True
+            else:
+                drop.add(e)
+        if any_kept:
+            kept_nodes |= c["nodes"]
     if drop:
         log.info("[SR::branch_red] removed %d branch edges", len(drop))
         keep = keep.copy()
@@ -762,26 +878,37 @@ def branch_reduction(table: OverlapTable, ws: WorkingSet,
     return keep
 
 
-def _reduce_branch(ws: WorkingSet, orig_rs: ReadSet, labels: np.ndarray,
-                   thresholds: EvidenceThresholds, drop: set,
-                   hub: int, branches: List[Tuple[int, int, int]],
-                   is_out: bool, diploid: bool) -> None:
-    """Evaluate one branching node; add unsupported edges to ``drop``."""
-    if len(branches) < 2:
-        return
+def _branch_event(ws: WorkingSet, orig_rs: ReadSet, labels: np.ndarray,
+                  hub: int, branches: List[Tuple[int, int, int]],
+                  is_out: bool, min_overlap_len: int):
+    """Evaluate one branching node: difference positions, missing-inclusion
+    pairs, per-edge evidence. Returns (kept branches, evidence per edge id,
+    max distance, has_missing) or None when the event dissolves."""
     seqs = {}
     for v, off, _e in branches:
         s, _ = _member_arrays(ws, labels, v)
         seqs[v] = (off, s)
-    # difference positions (hub frame) over all branch pairs; the branch
-    # point is the earliest branch start for out-branches and the hub
-    # start (position 0, branches converging from the left) for in-ones
     diffs = set()
     max_dist = 0
+    has_missing = False
+    missing_nodes = set()
     base_off = min(o for o, _ in seqs.values())
     for i in range(len(branches)):
         for j in range(i + 1, len(branches)):
-            (o1, s1), (o2, s2) = seqs[branches[i][0]], seqs[branches[j][0]]
+            vi, oi, _ = branches[i]
+            vj, oj, _ = branches[j]
+            (o1, s1), (o2, s2) = seqs[vi], seqs[vj]
+            if is_out and min_overlap_len > 0:
+                # missing-inclusion pair (buildDiffListOut :447-463): the
+                # later branch starts past the earlier one's admissible
+                # overlap window -> they cannot share an edge
+                early, late = (vi, vj) if o1 <= o2 else (vj, vi)
+                rel = abs(o1 - o2)
+                elen = len(seqs[early][1])
+                if rel > elen - min_overlap_len:
+                    missing_nodes.add(early)
+                    has_missing = True
+                    continue
             lo = max(o1, o2)
             hi = min(o1 + len(s1), o2 + len(s2))
             if hi <= lo:
@@ -796,20 +923,15 @@ def _reduce_branch(ws: WorkingSet, orig_rs: ReadSet, labels: np.ndarray,
                     max_dist = max(max_dist, int(d[-1]) - base_off + 1)
                 else:
                     max_dist = max(max_dist, 1 - int(d[0]))
+    kept_branches = [b for b in branches if b[0] not in missing_nodes]
+    if len(kept_branches) < 2:
+        return None if not has_missing else ([], {}, max_dist, True)
     if not diffs:
-        return
+        return None
     diffs = sorted(diffs)
-    need = thresholds.min_ev(max_dist)
-    if need <= 0:
-        return
-    # evidence: original subreads of each branch matching the branch's
-    # bases at every covered diff position (>=1 covered). PE mates are
-    # unified to one FRAGMENT id so a pair counts once and mates
-    # supporting different branches cancel (BranchReduction.cpp:264-321
-    # unifies modulo PE_count).
     frag = ws.ctx.frag if ws.ctx is not None else None
-    ev: Dict[int, set] = {}
-    for v, off, _e in branches:
+    per_edge_ev: Dict[int, set] = {}
+    for v, off, e in kept_branches:
         _o, s = seqs[v]
         reads_ev = set()
         for orig_id, so, sori in ws.subreads[v]:
@@ -824,30 +946,8 @@ def _reduce_branch(ws: WorkingSet, orig_rs: ReadSet, labels: np.ndarray,
                    if s[p - off] < 4):
                 reads_ev.add(int(frag[orig_id]) if frag is not None
                              else orig_id)
-        ev[v] = reads_ev
-    # unique evidence: fragments supporting >1 branch don't count
-    from collections import Counter
-    cnt = Counter(x for s_ in ev.values() for x in s_)
-    uniq = {v: sum(1 for x in ev[v] if cnt[x] == 1) for v, _, _ in branches}
-    if diploid and len(branches) == 2:
-        # typical double branch (BranchReduction.cpp:1098-1168): keep both
-        # edges when both have unique support and their loads differ by at
-        # most 0.5x the threshold; else keep only the best-supported one
-        (v1, _, e1), (v2, _, e2) = branches
-        u1, u2 = uniq[v1], uniq[v2]
-        if u1 > 0 and u2 > 0:
-            if abs(u1 - u2) > 0.5 * need:
-                drop.add(e2 if u1 > u2 else e1)
-            return
-        if u1 > 0 or u2 > 0:
-            drop.add(e2 if u1 > 0 else e1)
-            return
-        drop.add(e1)
-        drop.add(e2)
-        return
-    for v, off, e in branches:
-        if uniq[v] < need:
-            drop.add(e)
+        per_edge_ev[e] = reads_ev
+    return kept_branches, per_edge_ev, max_dist, has_missing
 
 
 # ---------------------------------------------------------------------------
@@ -965,30 +1065,44 @@ def sr_assemble(reads: ReadSet, cfg: Config,
         out = ws.reads
     out.names = [f"c{i}" for i in range(out.n)]
     if sc.diploid and out.n >= 2:
-        out = diploid_stage(out, cfg)
+        out = diploid_stage(out, cfg,
+                            subreads=[list(ws.subreads[i]) for i in keep]
+                            if keep else [list(sr_) for sr_ in ws.subreads],
+                            ctx=ws.ctx)
     return out
 
 
-def diploid_stage(contigs: ReadSet, cfg: Config) -> ReadSet:
+def diploid_stage(contigs: ReadSet, cfg: Config,
+                  subreads: Optional[List] = None,
+                  ctx: Optional[SRContext] = None) -> ReadSet:
     """Final diploid contig merging (polyte.tune_params.py:371-418): re-run
     the core over the assembly's contigs with mismatch-rate admission
     (edge_threshold=1), min_clique_size=2, diploid branch reduction
     (typical-double-branch rule), and a keep_singletons=max_tip_len length
     gate on the final output.
 
-    Deviation: the reference's diploid BranchReduction re-reads the
-    ORIGINAL fastq for evidence; contig provenance is not carried across
-    sr_assemble's return, so evidence here comes from the stage's input
-    contigs themselves (documented capability delta)."""
+    When sr_assemble passes the contigs' subread provenance + original-read
+    context, diploid branch evidence comes from the ORIGINAL reads — the
+    reference re-reads the original fastq for its diploid BranchReduction
+    (ViralQuasispecies.cpp:326-344). Without provenance (standalone calls)
+    the stage's input contigs act as their own evidence (documented
+    fallback)."""
     sc = cfg.sr_core
     mol = sc.diploid_overlap_len or sc.min_overlap_len
     work = contigs
+    widx = np.arange(contigs.n)
     if sc.diploid_contig_len:
         idx = np.nonzero(contigs.lengths >= sc.diploid_contig_len)[0]
         if len(idx) < 2:
             return contigs
         work = contigs.subset(idx)
-    ws = WorkingSet.from_reads(work, ctx=SRContext.from_reads(work))
+        widx = idx
+    if subreads is not None and ctx is not None:
+        ws = WorkingSet(reads=work,
+                        subreads=[list(subreads[i]) for i in widx],
+                        ctx=ctx)
+    else:
+        ws = WorkingSet.from_reads(work, ctx=SRContext.from_reads(work))
     thresholds = EvidenceThresholds.from_config(sc)
 
     stable = 0

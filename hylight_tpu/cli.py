@@ -57,7 +57,8 @@ def config_from_args(a) -> Config:
     cfg = Config()
     cfg = cfg.replace(
         overlap=OverlapConfig(min_ovlp_len=a.min_ovlp_len,
-                              min_identity=a.min_identity),
+                              min_identity=a.min_identity,
+                              w=5 if a.low_q else 10),
         # HyLight feeds --max_tip_len to miniasm -d, which IS the
         # bubble-popping distance (main.c:51,90; SURVEY.md §2.2)
         layout=LayoutConfig(max_tip_len=a.max_tip_len,

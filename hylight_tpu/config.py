@@ -25,7 +25,15 @@ class OverlapConfig:
     """
 
     k: int = 15                 # minimizer k-mer size (<=16 so a k-mer fits uint32)
-    w: int = 5                  # minimizer window
+    w: int = 10                 # minimizer window. The reference's ava-pb
+    #                             preset uses w=5 for RAW 85-90%-identity
+    #                             reads; HyLight overlaps CORRECTED long
+    #                             reads (fmlrc2 x3 first, HyLight.py:106),
+    #                             where w=10's ~5.5 bp anchor spacing keeps
+    #                             hundreds of anchors per min_ovlp_len=3000
+    #                             overlap at 1% residual error and halves
+    #                             the seeding volume. --low_q (raw input)
+    #                             drops back to w=5 (cli.py).
     min_ovlp_len: int = 3000    # HyLight --min_ovlp_len (long reads)
     min_identity: float = 0.95  # HyLight --min_identity
     min_anchors: int = 4        # min chained anchors to attempt extension (minimap2 -n 2..4)
@@ -122,6 +130,10 @@ class SRCoreConfig:
     accuracy: float = 1e-3         # min_ev_table.py binomial tail accuracy
     max_tip_len: int = 150
     max_iterations: int = 20
+    careful: bool = True           # careful_diploid (VQ default true,
+    #                                ViralQuasispecies.cpp:97): branch-
+    #                                reduction components neighboring an
+    #                                already-kept component are removed
     # diploid genome assembly (polyte --diploid, tune_params.py:371-418):
     # adds a final diploid merge stage with the typical-double-branch rule
     diploid: bool = False

@@ -47,6 +47,22 @@ def bucket_len(x: int, minimum: int = 256) -> int:
     return L
 
 
+def bucket_rows(n: int, minimum: int = 32) -> int:
+    """Round a read COUNT up to the {1, 1.5} x 2^k series.
+
+    The SR core re-overlaps a shrinking working set every iteration; exact
+    row counts would recompile every jitted program per iteration (seconds
+    on CPU, minutes through the axon tunnel). Geometric buckets cap the
+    padding waste at 33% and the compile count at ~2 per octave."""
+    b = minimum
+    while True:
+        if n <= b:
+            return b
+        if n <= b + b // 2:
+            return b + b // 2
+        b *= 2
+
+
 @dataclass
 class EngineStats:
     blocks: int = 0
@@ -92,6 +108,13 @@ def find_overlaps(reads: ReadSet, targets: Optional[ReadSet] = None, *,
     if ava:
         Lq = bucket_len(max(1, int(reads.lengths.max())))
         seqs, lens = reads.to_padded(max_len=Lq)
+        # row-count bucketing (see bucket_rows): pad rows have length 0 ->
+        # no minimizers -> no anchors; the self-join/index shapes stay
+        # stable across the SR core's shrinking iterations
+        N_pad = bucket_rows(nq)
+        if N_pad > nq:
+            seqs = np.pad(seqs, ((0, N_pad - nq), (0, 0)))
+            lens = np.pad(lens, (0, N_pad - nq))
         seqs_d = jnp.asarray(seqs)
         lens_d = jnp.asarray(lens)
         seqs_t_d, tlens_d = seqs_d, lens_d
@@ -102,6 +125,10 @@ def find_overlaps(reads: ReadSet, targets: Optional[ReadSet] = None, *,
         Lt = bucket_len(max(1, int(tset.lengths.max(initial=1))))
         qs_, qlens = reads.to_padded(max_len=Lq)
         ts_, tlens = tset.to_padded(max_len=Lt)
+        nt_pad = bucket_rows(nt)
+        if nt_pad > nt:
+            ts_ = np.pad(ts_, ((0, nt_pad - nt), (0, 0)))
+            tlens = np.pad(tlens, (0, nt_pad - nt))
         seqs_d = jnp.asarray(qs_)
         lens_d = jnp.asarray(np.concatenate([qlens, tlens]))
         seqs_t_d = jnp.asarray(ts_)
@@ -138,7 +165,55 @@ def find_overlaps(reads: ReadSet, targets: Optional[ReadSet] = None, *,
     A = cfg.anchors_per_pair
     stats = stats if stats is not None else EngineStats()
 
+    # whole-set fast path: small ava sets run ONE roll self-join block
+    # (no [N, F] gathers, packed-key sort) instead of query-block joins —
+    # this is the SR core's per-iteration overlap call, where the legacy
+    # per-block gather join dominated cluster assembly time
+    NA = lens_d.shape[0] if ava else nq      # padded ava row count
+    if ava and NA <= 4096 and Lq < (1 << 15) \
+            and 2 * NA * ((3 * Lq) // 64 + 2) < (1 << 31):
+        P_all = pairs_per_block or _round_up(NA * 24, 256)
+        # right-size the join fan-out to the longest surviving hash run
+        # (bucketed to powers of two so compiles are reused): deep max_occ
+        # settings otherwise pay for empty roll layers
+        D = int(_max_run_len(index.hash, index.tid2s))
+        join_occ = 2
+        while join_occ < min(max(D, 2), cfg.max_occ):
+            join_occ *= 2
+        join_occ = min(join_occ, cfg.max_occ)
+        cand = seed_mod.self_join_candidates(
+            index, lens_d.astype(jnp.int32), bandwidth=64,
+            min_anchors=cfg.min_anchors, max_pairs=P_all,
+            anchors_per_pair=A, max_occ=cfg.max_occ, k=cfg.k,
+            n_reads=NA, max_len=Lq, join_occ=join_occ)
+        ch = refine_chains(cand, k=cfg.k, min_score=cfg.min_chain_score,
+                           max_gap=cfg.max_gap)
+        ext = extend_chains(ch, seqs_d, k=cfg.k, gap_tile=cfg.gap_tile,
+                            max_mismatch=snp_cap,
+                            max_indel_band=cfg.max_indel_band)
+        sc = admission_filter(
+            ch, ext, min_len=cfg.min_ovlp_len,
+            min_identity=cfg.min_identity,
+            max_overhang=cfg.max_overhang,
+            overhang_ratio=cfg.overhang_ratio)
+        table = _materialize(ch, ext, sc, 0)
+        nw = int(cand.n_winners)
+        stats.blocks += 1
+        stats.candidate_pairs += nw
+        if nw > P_all:
+            stats.pair_overflows += 1
+            log.warning("self-join block: %d candidate pairs > cap %d "
+                        "(some dropped; raise pairs_per_block)", nw, P_all)
+        table = _dedup_best_per_pair(table)
+        if cap_overlaps and table.n > 0:
+            keep = cap_per_read(table.qid, table.tid, table.score,
+                                cfg.max_overlaps_per_read)
+            table = table.select(keep)
+        stats.overlaps = table.n
+        return table
+
     parts = []
+    winner_counts = []
     n_blocks = math.ceil(nq / B)
     for bi in range(n_blocks):
         lo = bi * B
@@ -180,16 +255,18 @@ def find_overlaps(reads: ReadSet, targets: Optional[ReadSet] = None, *,
             ch, ext, min_len=cfg.min_ovlp_len, min_identity=cfg.min_identity,
             max_overhang=cfg.max_overhang, overhang_ratio=cfg.overhang_ratio)
 
-        nw = int(cand.n_winners)
         stats.blocks += 1
+        winner_counts.append(cand.n_winners)
+
+        parts.append(_materialize(ch, ext, sc, t_off))
+
+    for bi, nw_d in enumerate(winner_counts):
+        nw = int(nw_d)
         stats.candidate_pairs += nw
         if nw > P:
             stats.pair_overflows += 1
             log.warning("overlap block %d: %d candidate pairs > cap %d "
                         "(some dropped; raise pairs_per_block)", bi, nw, P)
-
-        parts.append(_materialize(ch, ext, sc, t_off))
-
     table = OverlapTable.concat(parts)
     table = _dedup_best_per_pair(table)
     if cap_overlaps and table.n > 0:
@@ -211,6 +288,23 @@ def _dedup_best_per_pair(table: OverlapTable) -> OverlapTable:
     skey = key[order]
     first = np.concatenate([[True], skey[1:] != skey[:-1]])
     return table.select(order[first])
+
+
+import functools as _functools
+import jax as _jax
+
+
+@_functools.partial(_jax.jit)
+def _max_run_len(h, tid2s):
+    """Longest surviving (non-repeat-masked) hash run of an index."""
+    n = h.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.concatenate([jnp.ones(1, jnp.bool_), h[1:] != h[:-1]])
+    run_lo = _jax.lax.cummax(jnp.where(first, iota, 0))
+    last = jnp.concatenate([h[1:] != h[:-1], jnp.ones(1, jnp.bool_)])
+    run_hi = _jax.lax.cummin(jnp.where(last, iota, n - 1), reverse=True)
+    rl = run_hi - run_lo + 1
+    return jnp.max(jnp.where(tid2s >= 0, rl, 0))
 
 
 _MESH_FN_CACHE: Dict = {}

@@ -297,6 +297,9 @@ def extend_chains(ch: Chains, seqs: jax.Array, *, k: int, gap_tile: int,
     ver_cols = ch.score + jnp.sum(both_acgt, axis=(1, 2)).astype(jnp.int32)
     matches = ch.score + jnp.sum(eq, axis=(1, 2)).astype(jnp.int32)
 
+    mm2 = jnp.zeros_like(mm)
+    t0_suffix = t0
+    tb2 = tb
     if max_indel_band > 0:
         # banded-DP verification of indel gaps: matches from the best
         # banded alignment of the two gap strings; min(gq, gt) columns
@@ -310,6 +313,34 @@ def extend_chains(ch: Chains, seqs: jax.Array, *, k: int, gap_tile: int,
         ver_cols = ver_cols + jnp.sum(
             jnp.where(ver_s, jnp.minimum(gq_s, gt_s), 0), axis=1
         ).astype(jnp.int32)
+        # candidate-SNP events INSIDE indel gaps (round-1 gap, CLAUDE.md):
+        # under the single-indel model the first q-vs-t divergence p* is
+        # the indel; suffix columns j >= p* + max(delta,0) align read j to
+        # target j - delta — their mismatches are substitution candidates
+        # with exact coordinates for the cross-strain pileup filter
+        delta = (gq_s - gt_s)[..., None]
+        scan_m = (j < jnp.minimum(gq_s, gt_s)[..., None])
+        both_g = (qgap < 4) & (tgap < 4)
+        difm = (qgap != tgap) & both_g & scan_m
+        has_d = jnp.any(difm, axis=-1)
+        p_star = jnp.where(has_d, jnp.argmax(difm, axis=-1),
+                           jnp.minimum(gq_s, gt_s)).astype(jnp.int32)
+        jt = j - delta                          # target-side column index
+        # suffix target window = the gap window shifted by -delta: another
+        # nibble-word extract (cheap) instead of an elementwise gather
+        t0s = at_s + k - (gq_s - gt_s)
+        minus2 = ch.strand[:, None] == 1
+        fwd_start2 = jnp.where(minus2, ch.tlen[:, None] - G - t0s, t0s)
+        tb2_raw = _extract_windows(tpacked, tid_row[:, None], fwd_start2,
+                                   G, pad_bases)
+        tb2_rev = jnp.flip(tb2_raw, axis=-1)
+        tb2_rev = jnp.where(tb2_rev < 4, 3 - tb2_rev, tb2_rev)
+        tb2 = jnp.where(minus2[..., None], tb2_rev, tb2_raw)
+        suff = ver_s[..., None] & \
+            (j >= (p_star[..., None] + jnp.maximum(delta, 0))) & \
+            (j < gq_s[..., None]) & (jt >= 0) & (jt < gt_s[..., None])
+        mm2 = suff & (q_all < 4) & (tb2 < 4) & (q_all != tb2)
+        t0_suffix = t0 - delta                  # adjusted-frame column
     # N columns inside equal gaps are neither matched nor mismatched:
     # fold them into unverified
     n_cols = jnp.sum(incol & ~both_acgt, axis=(1, 2)).astype(jnp.int32)
@@ -322,14 +353,17 @@ def extend_chains(ch: Chains, seqs: jax.Array, *, k: int, gap_tile: int,
     identity = (m + u * (m / c)) / (c + u + g)
     identity = jnp.where(ch.valid, identity, 0.0)
 
-    # compact mismatch events to [P, S]; emit forward coordinates
-    mmf = mm.reshape(P, -1)
-    qpos_f = q0.reshape(P, -1)
-    tpos_adj = t0.reshape(P, -1)
+    # compact mismatch events to [P, S]; emit forward coordinates.
+    # Equal-gap events and indel-gap suffix events concatenate along the
+    # flattened column axis (coordinates travel with each event).
+    mmf = jnp.concatenate([mm.reshape(P, -1), mm2.reshape(P, -1)], axis=1)
+    qpos_f = jnp.concatenate([q0.reshape(P, -1), q0.reshape(P, -1)], axis=1)
+    tpos_adj = jnp.concatenate([t0.reshape(P, -1),
+                                t0_suffix.reshape(P, -1)], axis=1)
     tpos_fwd = jnp.where(ch.strand[:, None] == 1,
                          ch.tlen[:, None] - 1 - tpos_adj, tpos_adj)
-    qb_f = qb.reshape(P, -1)
-    tb_f = tb.reshape(P, -1)
+    qb_f = jnp.concatenate([qb.reshape(P, -1), q_all.reshape(P, -1)], axis=1)
+    tb_f = jnp.concatenate([tb.reshape(P, -1), tb2.reshape(P, -1)], axis=1)
     # base pair in forward target frame: complement if '-' strand
     tb_fwd = jnp.where((ch.strand[:, None] == 1) & (tb_f < 4), 3 - tb_f, tb_f)
 

@@ -81,8 +81,31 @@ def admission_filter(ch: Chains, ext: Extensions, *,
 def cap_per_read(qid: np.ndarray, tid: np.ndarray, score: np.ndarray,
                  cap: int) -> np.ndarray:
     """Per-read overlap cap on the host-compacted table (keep best `cap`
-    overlaps touching any read, score-descending). Returns a keep mask."""
+    overlaps touching any read, score-descending; the streaming greedy of
+    ``filter_trans_ovlp_inline_v4.py:74-83``). Returns a keep mask.
+
+    Runs in native C++ (graphcore.hl_cap_per_read) — the python loop was a
+    per-overlap host hot spot at cluster scale (VERDICT W3)."""
     order = np.argsort(-score, kind="stable")
+    n_reads = int(max(qid.max(initial=0), tid.max(initial=0))) + 1
+    from hylight_tpu import native
+    lib = native.load()
+    if lib is not None and hasattr(lib, "hl_cap_per_read"):
+        import ctypes
+        lib.hl_cap_per_read.restype = None
+        lib.hl_cap_per_read.argtypes = [ctypes.c_void_p] * 3 + \
+            [ctypes.c_longlong] * 3 + [ctypes.c_void_p]
+        order64 = np.ascontiguousarray(order, dtype=np.int64)
+        q32 = np.ascontiguousarray(qid, dtype=np.int32)
+        t32 = np.ascontiguousarray(tid, dtype=np.int32)
+        keep8 = np.zeros(len(qid), dtype=np.uint8)
+        lib.hl_cap_per_read(
+            order64.ctypes.data_as(ctypes.c_void_p),
+            q32.ctypes.data_as(ctypes.c_void_p),
+            t32.ctypes.data_as(ctypes.c_void_p),
+            len(qid), n_reads, cap,
+            keep8.ctypes.data_as(ctypes.c_void_p))
+        return keep8.astype(bool)
     counts: dict = {}
     keep = np.zeros(len(qid), dtype=bool)
     for i in order:

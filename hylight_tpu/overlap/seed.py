@@ -170,11 +170,12 @@ def collect_anchors(ms: MinimizerSet, qbase, index: MinimizerIndex, *,
 
 @functools.partial(jax.jit, static_argnames=(
     "bandwidth", "min_anchors", "max_pairs", "anchors_per_pair",
-    "max_occ", "k", "n_reads", "max_len"))
+    "max_occ", "k", "n_reads", "max_len", "join_occ"))
 def self_join_candidates(index: MinimizerIndex, lens: jax.Array, *,
                          bandwidth: int, min_anchors: int, max_pairs: int,
                          anchors_per_pair: int, max_occ: int, k: int,
-                         n_reads: int, max_len: int) -> Candidates:
+                         n_reads: int, max_len: int,
+                         join_occ: int = 0) -> Candidates:
     """All-vs-all candidate pairing directly from the hash-sorted index —
     the fast path for one read block (replaces collect_anchors +
     group_candidates for the self-join case).
@@ -215,8 +216,12 @@ def self_join_candidates(index: MinimizerIndex, lens: jax.Array, *,
     run_hi = jax.lax.cummin(jnp.where(last, iota, Nt - 1), reverse=True)
     ok_i = tid2s >= 0
 
+    # join fan-out: layers beyond the LONGEST surviving run are empty; the
+    # caller can right-size join_occ from the measured max run length
+    # (find_overlaps does) — full pair coverage needs join_occ >= that
+    D = join_occ if 0 < join_occ <= max_occ else max_occ
     key1_l, key2_l, tpos_l = [], [], []
-    for d in range(1, max_occ):
+    for d in range(1, D):
         t2_j = jnp.roll(tid2s, -d)
         tpos_j = jnp.roll(tpos, -d)
         in_run = (iota + d) <= run_hi

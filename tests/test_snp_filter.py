@@ -61,3 +61,31 @@ def test_random_errors_not_killed(rng):
     assert t.n > 0
     keep = snp_filter(t, mc=3, max_frac=0.0025, long_reads=True)
     assert keep.all()
+
+
+def test_snp_events_inside_indel_gaps():
+    """W8 fix: a substitution downstream of an indel in the SAME
+    inter-anchor gap must emit a mismatch event (single-indel suffix
+    alignment in extend_chains) so the cross-strain pileup can see it."""
+    import numpy as np
+    import jax.numpy as jnp
+    from hylight_tpu.config import OverlapConfig
+    from hylight_tpu.io.readset import ReadSet
+    from hylight_tpu.overlap.engine import find_overlaps
+
+    rng = np.random.default_rng(77)
+    g = rng.integers(0, 4, size=1200).astype(np.uint8)
+    r1 = g.copy()
+    # r2: delete base 600 and substitute at 610 — both inside one gap
+    # (the deletion breaks anchors across [585, 625])
+    r2 = np.concatenate([g[:600], g[601:]]).copy()
+    r2[609] = (r2[609] + 1) % 4
+    rs = ReadSet.from_seqs([r1, r2])
+    cfg = OverlapConfig(k=13, w=5, min_ovlp_len=300, min_identity=0.9,
+                        min_anchors=3, min_chain_score=60, max_occ=16,
+                        anchors_per_pair=256, gap_tile=32, max_indel_band=8)
+    t = find_overlaps(rs, cfg=cfg, query_block=2)
+    assert t.n == 1
+    ev_q = t.mm_q[0][t.mm_mask[0]]
+    # the substitution sits at r1 coordinate 610 (r2 609 + 1 deleted base)
+    assert 610 in set(ev_q.tolist()), sorted(ev_q.tolist())

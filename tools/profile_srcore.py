@@ -1,0 +1,42 @@
+"""SR-core scale profile: one cluster assembly wall-clock (VERDICT item 6:
+5,000-read cluster in < 60 s CPU-mode)."""
+import sys, time
+sys.path.insert(0, "/root/repo")
+import numpy as np
+import jax; jax.config.update("jax_platforms", "cpu")
+from hylight_tpu.config import Config, OverlapConfig, SRCoreConfig, CorrectConfig
+from hylight_tpu.io.readset import ReadSet, revcomp_codes
+from hylight_tpu.assembly.srcore import sr_assemble
+
+n_frags = int(sys.argv[1]) if len(sys.argv) > 1 else 2500   # 2 reads/frag
+rng = np.random.default_rng(9)
+G = n_frags * 60 // 2 + 600   # ~PE tiling every 60bp over both strains
+genome = rng.integers(0, 4, size=G).astype(np.uint8)
+genomeB = genome.copy()
+snp = np.arange(200, G - 200, 150)
+genomeB[snp] = (genomeB[snp] + 1) % 4
+seqs, names = [], []
+fid = 0
+for g in (genome, genomeB):
+    for s in range(0, G - 450, max(1, (G - 450) * 2 // n_frags)):
+        frag = g[s:s + 450]
+        seqs.append(frag[:150].copy()); names.append(f"f{fid}/1")
+        seqs.append(revcomp_codes(frag[-150:]).copy()); names.append(f"f{fid}/2")
+        fid += 1
+rs = ReadSet.from_seqs(seqs, names=names)
+print("reads:", rs.n)
+cfg = Config().replace(
+    overlap_sr=OverlapConfig(k=13, w=5, min_ovlp_len=60, min_identity=0.9,
+                             min_anchors=2, min_chain_score=30, max_occ=64,
+                             max_gap=500, anchors_per_pair=64, gap_tile=16,
+                             max_overlaps_per_read=60),
+    sr_core=SRCoreConfig(min_overlap_len=60, min_overlap_len_ec=60,
+                         edge_threshold_ec=0.93, edge_threshold=0.999,
+                         min_clique_size=2, hap_cov=8.0, insert_size=450.0,
+                         average_read_len=150.0, max_iterations=6),
+    correct=CorrectConfig(skip=True))
+t0 = time.time()
+out = sr_assemble(rs, cfg)
+dt = time.time() - t0
+print(f"sr_assemble({rs.n} reads) = {dt:.1f} s -> {out.n} contigs, "
+      f"longest {int(out.lengths.max(initial=0))}")
