@@ -24,7 +24,7 @@ import numpy as np
 from hylight_tpu.config import Config
 from hylight_tpu.io.readset import ReadSet
 from hylight_tpu.graph.string_graph import (
-    miniasm_clean, overlaps_to_arcs, unitig_seqs, unitigs)
+    miniasm_clean, unitig_seqs, unitigs)
 from hylight_tpu.ops.consensus import polish_contigs
 from hylight_tpu.overlap.engine import (find_overlaps,
                                         find_overlaps_streamed)
@@ -34,58 +34,17 @@ from hylight_tpu.utils import get_logger, stage
 log = get_logger()
 
 
-def coverage_trim(table, reads: ReadSet, *, min_dp: int,
-                  min_span: int) -> ReadSet:
-    """Per-read coverage-plateau selection (miniasm ``ma_hit_sub``,
-    ``hit.c:109-161``): keep, per read, the longest region covered by
-    >= min_dp overlaps; drop reads whose plateau is shorter than min_span.
-    With min_dp == 1 (HyLight default ``-c 1``) this trims to the union of
-    covered spans. Chimeric junctions (coverage dips) split reads."""
-    if min_dp <= 0 or table.n == 0:
-        return reads
-    ends = []
-    for rid_arr, s_arr, e_arr in ((table.qid, table.qs, table.qe),
-                                  (table.tid, table.ts, table.te)):
-        ends.append(np.stack([rid_arr, s_arr, np.ones_like(s_arr)], axis=1))
-        ends.append(np.stack([rid_arr, e_arr, -np.ones_like(e_arr)], axis=1))
-    ev = np.concatenate(ends)
-    order = np.lexsort((-ev[:, 2], ev[:, 1], ev[:, 0]))
-    ev = ev[order]
-    new_seqs, kept = [], []
-    i = 0
-    E = len(ev)
-    while i < E:
-        rid = ev[i, 0]
-        depth = 0
-        best = (0, 0)
-        start = 0
-        j = i
-        while j < E and ev[j, 0] == rid:
-            pos, d = ev[j, 1], ev[j, 2]
-            if d > 0:
-                depth += 1
-                if depth == min_dp:
-                    start = pos
-            else:
-                if depth == min_dp and pos - start > best[1] - best[0]:
-                    best = (start, pos)
-                depth -= 1
-            j += 1
-        if best[1] - best[0] >= min_span:
-            new_seqs.append(reads.get(int(rid))[int(best[0]):int(best[1])])
-            kept.append(int(rid))
-        i = j
-    quals = None
-    names = [reads.names[r] for r in kept] if reads.names else None
-    return ReadSet.from_seqs(new_seqs, quals=quals, names=names)
-
-
 def _layout(reads: ReadSet, cfg: Config, *, query_block: int,
             gfa_sink: Optional[List[str]] = None, mesh=None) -> ReadSet:
-    """overlaps -> SNP filter -> string graph -> unitig contigs.
+    """overlaps -> SNP filter -> 2-pass read selection -> string graph ->
+    unitig contigs.
 
-    gfa_sink: when given, the unitig-layout GFA text (miniasm
-    ``ma_ug_print`` parity, asm.c:77) is appended to it."""
+    The 2-pass selection (hit-level coverage trimming, chimera filter and
+    containment removal) is miniasm's main.c:119-142 cascade, implemented
+    in assembly/readsel.py. gfa_sink: when given, the unitig-layout GFA
+    text (miniasm ``ma_ug_print`` parity, asm.c:77) is appended to it."""
+    from hylight_tpu.assembly import readsel
+
     oc = cfg.overlap
     lay = cfg.layout
     table = find_overlaps_streamed(reads, cfg=oc, query_block=query_block,
@@ -97,31 +56,25 @@ def _layout(reads: ReadSet, cfg: Config, *, query_block: int,
         table = table.select(keep)
     if table.n == 0:
         return ReadSet.from_seqs([])
-    if lay.min_coverage > 1:
-        # low-quality mode (-c 3): trim reads to their coverage plateau and
-        # redo overlaps on the trimmed set (miniasm's 2-pass selection,
-        # main.c:119-142)
-        reads = coverage_trim(table, reads, min_dp=lay.min_coverage,
-                              min_span=lay.min_span)
-        if reads.n < 2:
-            return ReadSet.from_seqs([])
-        table = find_overlaps_streamed(reads, cfg=oc, query_block=query_block,
-                                   chunk=cfg.parallel.stream_chunk)
-        if table.n == 0:
-            return ReadSet.from_seqs([])
-    arcs, contained = overlaps_to_arcs(
-        table, reads.n, min_ovlp=lay.min_match,
-        max_hang=cfg.overlap.max_overhang, int_frac=lay.int_frac)
+    min_ovlp = lay.min_ovlp or lay.min_span
+    hits, sub = readsel.select_reads(
+        table, reads.n, min_dp=lay.min_coverage, min_span=lay.min_span,
+        min_match=lay.min_match, max_hang=oc.max_overhang,
+        int_frac=lay.int_frac, min_ovlp=min_ovlp, min_iden=lay.min_iden)
+    arcs = readsel.sg_arcs_from_hits(hits, sub, max_hang=oc.max_overhang,
+                                     int_frac=lay.int_frac,
+                                     min_ovlp=min_ovlp)
     # the full miniasm cleaning cascade (main.c:154-188): -n maps to the
     # short-overlap drop rounds, -e to max_ext, -d to the bubble distance
     arcs, dropped = miniasm_clean(
         arcs, max_ext=lay.min_unitig_reads, bub_dist=lay.bubble_dist,
         n_rounds=lay.rounds)
-    utg = unitigs(arcs, drop_reads=contained | dropped)
-    out = unitig_seqs(utg, reads)
+    utg = unitigs(arcs, drop_reads=sub.deleted | dropped)
+    trimmed = readsel.trimmed_reads(reads, sub)
+    out = unitig_seqs(utg, trimmed)
     if gfa_sink is not None:
         from hylight_tpu.graph.gfa import unitigs_to_gfa
-        gfa_sink.append(unitigs_to_gfa(utg, out, reads))
+        gfa_sink.append(unitigs_to_gfa(utg, out, trimmed))
     return out
 
 

@@ -38,6 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--size", type=int, default=15000,
                    help="max reads per short-read cluster")
     p.add_argument("--max_tip_len", type=int, default=10000)
+    p.add_argument("--min_span", type=int, default=2000,
+                   help="miniasm -s: min hit span / selected sub-read span "
+                        "(lower for read sets shorter than ~5 kb)")
     p.add_argument("--insert_size", type=float, default=450)
     p.add_argument("--average_read_len", type=float, default=250)
     p.add_argument("--corrected", action="store_true",
@@ -64,7 +67,8 @@ def config_from_args(a) -> Config:
         layout=LayoutConfig(max_tip_len=a.max_tip_len,
                             bubble_dist=a.max_tip_len,
                             rounds=3 if a.low_q else 1,
-                            min_coverage=3 if a.low_q else 1),
+                            min_coverage=3 if a.low_q else 1,
+                            min_span=a.min_span),
         cluster=ClusterConfig(max_cluster_size=a.size),
         sr_core=SRCoreConfig(insert_size=a.insert_size,
                              average_read_len=a.average_read_len,

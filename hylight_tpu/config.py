@@ -72,14 +72,19 @@ class LayoutConfig:
     (``HyLight.py:137,140``); defaults from ``miniasm/common.c:5-23``.
     """
 
-    min_coverage: int = 1       # -c: keep unitigs at coverage 1 (strain preservation)
+    min_coverage: int = 1       # -c == miniasm min_dp: the per-read coverage
+    #                             plateau threshold of ma_hit_sub (hit.c:110);
+    #                             HyLight passes -c 1 (strain preservation),
+    #                             -c 3 in --low_q mode
     min_unitig_reads: int = 1   # -e
     rounds: int = 1             # -n graph-cleaning rounds
     max_tip_len: int = 10000    # HyLight --max_tip_len (passed to miniasm -d)
-    min_dp: int = 1             # per-read coverage plateau threshold (hit.c:109)
-    min_span: int = 1000        # minimum selected sub-read span
-    int_frac: float = 0.8       # hit->arc overhang fraction (ma_hit2arc)
-    min_match: int = 40         # min matching bases for an arc
+    min_span: int = 2000        # -s: min hit span / sub-read span (common.c:7)
+    min_iden: float = 0.05      # -i: ma_hit_sub identity skip (common.c:10)
+    int_frac: float = 0.8       # -I: hit->arc overhang fraction (ma_hit2arc)
+    min_match: int = 100        # -m: min matching bases per hit (common.c:8)
+    min_ovlp: int = 0           # -o: min overlap for arcs; 0 = min_span
+    #                             (main.c: o_set? atoi : opt.min_span)
     bubble_dist: int = 50000    # bubble-popping search distance
 
 

@@ -158,9 +158,46 @@ def _vote_kernel(ch: Chains, seqs: jax.Array, tseqs: jax.Array,
                      (off + c_fwd) * 4 + bq_fwd, T4)
     votes = votes.at[skey.reshape(-1)].add(1, mode="drop")
 
-    # coverage from chain extents (forward frame)
-    ts_f = jnp.where(ch.strand == 1, ch.tlen - ch.te, ch.ts)
-    te_f = jnp.where(ch.strand == 1, ch.tlen - ch.ts, ch.te)
+    # ----- end-extension votes (racon polishes FULL windows; without
+    # these, a draft error within ~k of a contig end sits beyond every
+    # chain's terminal anchor and is never voted on). Extend from the
+    # first/last anchor toward the read/contig boundaries under the
+    # no-indel tail model, up to G columns per side; majority voting
+    # absorbs the occasional misaligned tail. -------------------------
+    rowsP = jnp.arange(P, dtype=jnp.int32)
+    n_last = jnp.clip(ch.n_anchors - 1, 0, A - 1)
+    aq0, at0 = ch.aq[:, 0], ch.at[:, 0]
+    aqL, atL = ch.aq[rowsP, n_last], ch.at[rowsP, n_last]
+    has = valid & (ch.n_anchors > 0)
+    jj = jnp.arange(1, G + 1, dtype=jnp.int32)[None, :]
+    strand2e = ch.strand[:, None]
+    tlen2e = ch.tlen[:, None]
+    off2e = t_offsets[ch.tid][:, None]
+
+    def _ext_votes(votes, qpos, tpos, okm):
+        b = jnp.where(okm, seqs[ch.qid[:, None],
+                               jnp.clip(qpos, 0, seqs.shape[1] - 1)], 4)
+        t_fwd = jnp.where(strand2e == 1, tlen2e - 1 - tpos, tpos)
+        b_fwd = jnp.where((strand2e == 1) & (b < 4), 3 - b, b)
+        keye = jnp.where(okm & (b < 4) & (off2e >= 0),
+                         (off2e + t_fwd) * 4 + b_fwd, T4)
+        return votes.at[keye.reshape(-1)].add(1, mode="drop")
+
+    okL2 = has[:, None] & (aq0[:, None] - jj >= 0) & (at0[:, None] - jj >= 0)
+    votes = _ext_votes(votes, aq0[:, None] - jj, at0[:, None] - jj, okL2)
+    qR = (aqL + k - 1)[:, None] + jj
+    tR = (atL + k - 1)[:, None] + jj
+    okR2 = has[:, None] & (qR < ch.qlen[:, None]) & (tR < tlen2e)
+    votes = _ext_votes(votes, qR, tR, okR2)
+    extL = jnp.sum(okL2, axis=1).astype(jnp.int32)
+    extR = jnp.sum(okR2, axis=1).astype(jnp.int32)
+
+    # coverage from chain extents (forward frame), widened by the
+    # end-extension spans so extension votes fall inside coverage
+    ts_f = jnp.where(ch.strand == 1, ch.tlen - ch.te, ch.ts) \
+        - jnp.where(ch.strand == 1, extR, extL)
+    te_f = jnp.where(ch.strand == 1, ch.tlen - ch.ts, ch.te) \
+        + jnp.where(ch.strand == 1, extL, extR)
     o1 = t_offsets[ch.tid]
     okc = valid & (o1 >= 0)
     s_key = jnp.where(okc, o1 + ts_f, cov_diff.shape[0])

@@ -17,7 +17,7 @@ CFG = Config().replace(
     overlap=OverlapConfig(k=13, w=5, min_ovlp_len=300, min_identity=0.9,
                           min_anchors=4, min_chain_score=100, max_occ=64,
                           anchors_per_pair=256, gap_tile=32),
-    layout=LayoutConfig(min_match=100, bubble_dist=5000),
+    layout=LayoutConfig(min_match=100, bubble_dist=5000, min_span=500),
     snp=SnpFilterConfig(mc=3),
 )
 

@@ -99,6 +99,72 @@ def test_unitigs_match_miniasm_binary(tmp_path):
     assert sorted(map(_canon, ref_utgs)) == sorted(map(_canon, ours))
 
 
+def _our_unitigs_full(reads, table, *, min_dp, min_span, min_match,
+                      max_hang, int_frac, min_ovlp, max_ext, bub_dist,
+                      n_rounds, fuzz):
+    """Full pipeline including the 2-pass read selection (readsel.py) —
+    the counterpart of running miniasm WITHOUT -1 -2."""
+    from hylight_tpu.assembly import readsel
+    hits, sub = readsel.select_reads(
+        table, reads.n, min_dp=min_dp, min_span=min_span,
+        min_match=min_match, max_hang=max_hang, int_frac=int_frac,
+        min_ovlp=min_ovlp)
+    arcs = readsel.sg_arcs_from_hits(hits, sub, max_hang=max_hang,
+                                     int_frac=int_frac, min_ovlp=min_ovlp)
+    arcs, dropped = miniasm_clean(arcs, max_ext=max_ext, bub_dist=bub_dist,
+                                  n_rounds=n_rounds, fuzz=fuzz)
+    utg = unitigs(arcs, drop_reads=sub.deleted | dropped)
+    out = unitig_seqs(utg, readsel.trimmed_reads(reads, sub))
+    return [decode_seq(out.get(i)) for i in range(out.n)]
+
+
+def test_full_cascade_matches_miniasm(tmp_path):
+    """2-pass read selection + graph: unitig sequences are identical to
+    the binary run WITHOUT -1/-2 (read trimming, chimera filter and
+    containment included)."""
+    rng = np.random.default_rng(22)
+    reads, genome = _mk_reads(rng)
+    table = _overlaps(reads)
+    paf = table.to_paf(names=reads.names, symmetric=False)
+    ref_utgs = _run_miniasm(
+        tmp_path, reads, paf,
+        ["-d", "10000", "-n", "1", "-e", "1", "-c", "1",
+         "-s", "500", "-m", "40", "-h", "1000", "-I", "0.8", "-g", "10"])
+    ours = _our_unitigs_full(reads, table, min_dp=1, min_span=500,
+                             min_match=40, max_hang=1000, int_frac=0.8,
+                             min_ovlp=500, max_ext=1, bub_dist=10000,
+                             n_rounds=1, fuzz=10)
+    assert len(ref_utgs) == len(ours), (len(ref_utgs), len(ours))
+    assert sorted(map(_canon, ref_utgs)) == sorted(map(_canon, ours))
+
+
+def test_full_cascade_matches_miniasm_chimera(tmp_path):
+    """A chimeric read plus a contained read exercise ma_hit_sub's
+    plateau trimming, ma_hit_flt and ma_hit_contained against the binary
+    (min_dp=2 so the junk arm actually dips below the threshold)."""
+    rng = np.random.default_rng(23)
+    glen, rlen, step = 14000, 2000, 250
+    g = rng.integers(0, 4, size=glen).astype(np.uint8)
+    reads = [g[s:s + rlen].copy()
+             for s in range(0, glen - rlen + 1, step)]
+    junk = rng.integers(0, 4, size=1200).astype(np.uint8)
+    reads.append(np.concatenate([g[4000:5000], junk]))   # chimera
+    reads.append(g[6100:7300].copy())                    # contained read
+    rs = ReadSet.from_seqs(reads, names=[f"c{i}" for i in range(len(reads))])
+    table = _overlaps(rs)
+    paf = table.to_paf(names=rs.names, symmetric=False)
+    ref_utgs = _run_miniasm(
+        tmp_path, rs, paf,
+        ["-d", "10000", "-n", "1", "-e", "1", "-c", "2",
+         "-s", "500", "-m", "40", "-h", "1000", "-I", "0.8", "-g", "10"])
+    ours = _our_unitigs_full(rs, table, min_dp=2, min_span=500,
+                             min_match=40, max_hang=1000, int_frac=0.8,
+                             min_ovlp=500, max_ext=1, bub_dist=10000,
+                             n_rounds=1, fuzz=10)
+    assert len(ref_utgs) == len(ours), (len(ref_utgs), len(ours))
+    assert sorted(map(_canon, ref_utgs)) == sorted(map(_canon, ours))
+
+
 def test_unitigs_match_miniasm_branchy(tmp_path):
     """Two-haplotype layout: a shared left arm forking into two strain
     arms — exercises tips/short-overlap drops and branch handling."""

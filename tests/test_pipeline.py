@@ -15,7 +15,7 @@ CFG = Config().replace(
     overlap_sr=OverlapConfig(k=13, w=5, min_ovlp_len=60, min_identity=0.9,
                              min_anchors=2, min_chain_score=30, max_occ=64,
                              max_gap=500, anchors_per_pair=64, gap_tile=16),
-    layout=LayoutConfig(min_match=100, bubble_dist=5000),
+    layout=LayoutConfig(min_match=100, bubble_dist=5000, min_span=500),
     snp=SnpFilterConfig(mc=3, mc_short=3),
     sr_core=SRCoreConfig(min_overlap_len=60, min_overlap_len_ec=60,
                          edge_threshold_ec=0.93, edge_threshold=0.999,
