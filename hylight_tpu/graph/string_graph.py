@@ -463,7 +463,9 @@ class _MutGraph:
     """Mutable adjacency view over an ArcSet (arc + read deletion flags).
 
     Adjacency preserves the (v, l)-sorted order — the same order miniasm's
-    radix sort leaves arcs in (ul ascending == ol descending per vertex)."""
+    radix sort leaves arcs in (ul ascending == ol descending per vertex).
+    Adjacency is CSR over the sorted arc array (start/count per vertex) —
+    no per-arc Python list build, O(E) numpy setup."""
 
     def __init__(self, arcs: ArcSet):
         a = arcs.sort()
@@ -471,25 +473,33 @@ class _MutGraph:
         self.n_reads = a.n_reads
         self.alive = np.ones(len(a.v), dtype=bool)
         self.read_del = np.zeros(a.n_reads, dtype=bool)
-        self.adj: List[List[int]] = [[] for _ in range(a.n_vtx)]
-        for i, v in enumerate(a.v):
-            self.adj[int(v)].append(i)
+        self.start, self.count = a.out_index()
+
+    def adj_slice(self, v: int) -> range:
+        s = int(self.start[v])
+        return range(s, s + int(self.count[v]))
 
     def live_out(self, v: int) -> List[int]:
+        if self.read_del[v >> 1]:
+            return []
         a = self.arcs
-        return [i for i in self.adj[v]
-                if self.alive[i] and not self.read_del[a.w[i] >> 1]
-                and not self.read_del[a.v[i] >> 1]]
+        s = int(self.start[v])
+        c = int(self.count[v])
+        if c == 0:
+            return []
+        m = self.alive[s:s + c] & ~self.read_del[
+            np.asarray(a.w[s:s + c]) >> 1]
+        return [s + int(i) for i in np.nonzero(m)[0]]
 
     def del_read(self, r: int) -> None:
         self.read_del[r] = True
 
     def del_arc_pair(self, v: int, w: int) -> None:
         """Delete arcs v->w and the twin w^1->v^1 (asg_arc_del both ways)."""
-        for i in self.adj[v]:
+        for i in self.adj_slice(v):
             if self.arcs.w[i] == w:
                 self.alive[i] = False
-        for i in self.adj[w ^ 1]:
+        for i in self.adj_slice(w ^ 1):
             if self.arcs.w[i] == (v ^ 1):
                 self.alive[i] = False
 
@@ -527,23 +537,117 @@ class _MutGraph:
         return a.select(keep), self.read_del
 
 
+def _classify_initial(a: ArcSet, start: np.ndarray, count: np.ndarray
+                      ) -> np.ndarray:
+    """Vectorized asg_is_utg_end code for EVERY vertex of the initial
+    (nothing-deleted) graph — one numpy pass instead of NV Python calls."""
+    NV = a.n_vtx
+    E = len(a.v)
+    vv = np.arange(NV)
+    mirror = vv ^ 1
+    pc = count[mirror]
+    first = start[mirror]
+    safe_first = np.minimum(first, max(E - 1, 0))
+    nxt = a.w[safe_first] if E else np.zeros(NV, dtype=np.int64)
+    wn = (nxt.astype(np.int64) ^ 1)
+    code = np.full(NV, ET_MERGEABLE, dtype=np.int8)
+    code[pc == 0] = ET_TIP
+    code[pc > 1] = ET_MULTI_OUT
+    single = pc == 1
+    code[single & (count[wn] != 1)] = ET_MULTI_NEI
+    return code
+
+
+def _scan_pass(g: _MutGraph, want: int, handler) -> int:
+    """Ascending-index vertex scan over vertices classified ``want``,
+    with exact mutation semantics of the reference's for-loop (asg.c):
+    a vertex is evaluated once, in index order, against the CURRENT graph.
+
+    Seeds come from the vectorized initial classification; handler-made
+    deletions push the (few) affected higher-index vertices back into a
+    min-heap so tips/junctions exposed mid-scan are still visited — the
+    exact set the reference's linear scan would see (pops are
+    non-decreasing because every push is > the current index, so each
+    vertex is evaluated once, at its scan position, against the current
+    graph). handler(v) returns None when it made no change, else an
+    iterable of vertices whose classification its deletions may have
+    changed (use :func:`_affected_of_read` / :func:`_affected_of_arcs`).
+    """
+    import heapq
+
+    a = g.arcs
+    code0 = _classify_initial(a, g.start, g.count)
+    heap = list(np.nonzero(code0 == want)[0])
+    heapq.heapify(heap)
+    visited = np.zeros(a.n_vtx, dtype=bool)
+    cnt = 0
+
+    while heap:
+        v = int(heapq.heappop(heap))
+        if visited[v]:
+            continue
+        visited[v] = True
+        if g.read_del[v >> 1]:
+            continue
+        if g.is_utg_end(v)[0] != want:
+            continue
+        affected = handler(v)
+        if affected is None:
+            continue
+        cnt += 1
+        for u in affected:
+            if u > v and not visited[u]:
+                heapq.heappush(heap, u)
+    return cnt
+
+
+def _affected_of_read(g: _MutGraph, r: int):
+    """Vertices whose asg_is_utg_end classification may change after
+    del_read(r): ends of r itself, endpoints of arcs incident to r's two
+    vertices, and second-hop targets whose single-pred lookup reads a
+    changed adjacency."""
+    a = g.arcs
+    out = set()
+    for x in (2 * r, 2 * r + 1):
+        out.add(x ^ 1)
+        for i in g.adj_slice(x):
+            w = int(a.w[i])
+            out.add(w)          # target's own end
+            out.add(w ^ 1)      # twin source w^1 lost an incoming arc
+            for j in g.adj_slice(w ^ 1):
+                out.add(int(a.w[j]))
+    return out
+
+
+def _affected_of_arcs(g: _MutGraph, v: int, w: int):
+    """Vertices affected by del_arc_pair(v, w): live_out changed at
+    sources v and w^1."""
+    a = g.arcs
+    out = {v ^ 1, w, w ^ 1, v}
+    for x in (v, w ^ 1):
+        for i in g.adj_slice(x):
+            out.add(int(a.w[i]))
+    return out
+
+
 def cut_tips_asg(arcs: ArcSet, max_ext: int = 4
                  ) -> Tuple[ArcSet, np.ndarray]:
     """asg_cut_tip (asg.c:238-254): delete unitigs that start at a TIP end
     and do not extend into a mergeable chain longer than max_ext reads."""
     g = _MutGraph(arcs)
-    cnt = 0
-    for v in range(arcs.n_vtx):
-        if g.read_del[v >> 1]:
-            continue
-        if g.is_utg_end(v)[0] != ET_TIP:
-            continue
+
+    def handler(v):
         ret, path = g.extend(v, max_ext)
         if ret == ET_MERGEABLE:
-            continue
+            return None
+        affected = set()
         for p in path:
             g.del_read(p >> 1)
-        cnt += 1
+        for p in path:
+            affected |= _affected_of_read(g, p >> 1)
+        return affected
+
+    cnt = _scan_pass(g, ET_TIP, handler)
     if cnt:
         log.info("[G::cut_tips] cut %d tips", cnt)
     return g.finish()
@@ -554,18 +658,19 @@ def cut_internal(arcs: ArcSet, max_ext: int = 1
     """asg_cut_internal (asg.c:256-272): delete short unitigs whose both
     ends sit against multi-neighbor junctions."""
     g = _MutGraph(arcs)
-    cnt = 0
-    for v in range(arcs.n_vtx):
-        if g.read_del[v >> 1]:
-            continue
-        if g.is_utg_end(v)[0] != ET_MULTI_NEI:
-            continue
+
+    def handler(v):
         ret, path = g.extend(v, max_ext)
         if ret != ET_MULTI_NEI:
-            continue
+            return None
+        affected = set()
         for p in path:
             g.del_read(p >> 1)
-        cnt += 1
+        for p in path:
+            affected |= _affected_of_read(g, p >> 1)
+        return affected
+
+    cnt = _scan_pass(g, ET_MULTI_NEI, handler)
     if cnt:
         log.info("[G::cut_internal] cut %d internal sequences", cnt)
     return g.finish()
@@ -575,19 +680,15 @@ def cut_biloop(arcs: ArcSet, max_ext: int = 4) -> ArcSet:
     """asg_cut_biloop (asg.c:274-306): at v->...->x' with w->v and w->x,
     delete the weaker of w's two arcs (only the w->x arc, when ov > ox)."""
     g = _MutGraph(arcs)
-    cnt = 0
-    for v in range(arcs.n_vtx):
-        if g.read_del[v >> 1]:
-            continue
-        if g.is_utg_end(v)[0] != ET_MULTI_NEI:
-            continue
+
+    def handler(v):
         ret, path = g.extend(v, max_ext)
         if ret != ET_MULTI_OUT:
-            continue
+            return None
         x = path[-1] ^ 1
         preds = g.live_out(v ^ 1)
         if not preds:
-            continue
+            return None
         w = int(g.arcs.w[preds[-1]]) ^ 1
         ov = ox = 0
         for i in g.live_out(w):
@@ -596,10 +697,13 @@ def cut_biloop(arcs: ArcSet, max_ext: int = 4) -> ArcSet:
             if g.arcs.w[i] == v:
                 ov = int(g.arcs.ol[i])
         if ov == 0 and ox == 0:
-            continue
+            return None
         if ov > ox:
             g.del_arc_pair(w, x)
-            cnt += 1
+            return _affected_of_arcs(g, w, x)
+        return None
+
+    cnt = _scan_pass(g, ET_MULTI_NEI, handler)
     if cnt:
         log.info("[G::cut_biloop] cut %d bi-loops", cnt)
     a, _ = g.finish()

@@ -62,9 +62,9 @@ def _window_reduce(x: jax.Array, w: int, op, init, pad_left: int, pad_right: int
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k", "w", "cap"))
+@functools.partial(jax.jit, static_argnames=("k", "w", "cap", "via_sort"))
 def minimizers(seqs: jax.Array, lens: jax.Array, *, k: int, w: int,
-               cap: int) -> MinimizerSet:
+               cap: int, via_sort: bool = True) -> MinimizerSet:
     """Extract canonical (k,w)-minimizers from a padded read batch.
 
     Args:
@@ -114,6 +114,31 @@ def minimizers(seqs: jax.Array, lens: jax.Array, *, k: int, w: int,
     sel_max = _window_reduce(wmin, w, jax.lax.max, np.uint32(0), 0, w - 1)
     selected = valid & (h == sel_max[:, :Lk])
 
+    count = jnp.minimum(jnp.sum(selected, axis=1), cap).astype(jnp.int32)
+    if via_sort:
+        # row-sort compaction: selected entries are already in pos order,
+        # so one stable 2-operand sort by key = pos<<1|strand (unselected
+        # -> INT_MAX) compacts each row — replaces three [B, Lk] scatters,
+        # which are slow on TPU (see CLAUDE.md)
+        key = jnp.where(selected,
+                        (pos << 1) | strand.astype(jnp.int32),
+                        jnp.int32(0x7FFFFFFF))
+        key, h_s = jax.lax.sort((key, h), num_keys=1, is_stable=True,
+                                dimension=1)
+        if cap > Lk:
+            key = jnp.pad(key, ((0, 0), (0, cap - Lk)),
+                          constant_values=np.int32(0x7FFFFFFF))
+            h_s = jnp.pad(h_s, ((0, 0), (0, cap - Lk)),
+                          constant_values=UINT_MAX)
+        key = key[:, :cap]
+        h_s = h_s[:, :cap]
+        ok = key != jnp.int32(0x7FFFFFFF)
+        return MinimizerSet(
+            hash=jnp.where(ok, h_s, UINT_MAX),
+            pos=jnp.where(ok, key >> 1, -1),
+            strand=jnp.where(ok, key & 1, 0).astype(jnp.int8),
+            count=count)
+
     # scatter-compaction to [B, cap]
     slot = jnp.cumsum(selected.astype(jnp.int32), axis=1) - 1
     slot = jnp.where(selected & (slot < cap), slot, cap)
@@ -124,7 +149,6 @@ def minimizers(seqs: jax.Array, lens: jax.Array, *, k: int, w: int,
         pos, mode="drop")[:, :cap]
     out_s = jnp.zeros((B, cap + 1), jnp.int8).at[rows, slot].set(
         strand, mode="drop")[:, :cap]
-    count = jnp.minimum(jnp.sum(selected, axis=1), cap).astype(jnp.int32)
     return MinimizerSet(hash=out_h, pos=out_p, strand=out_s, count=count)
 
 
