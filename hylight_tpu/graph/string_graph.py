@@ -469,6 +469,17 @@ class _MutGraph:
 
     def __init__(self, arcs: ArcSet):
         a = arcs.sort()
+        if __debug__ and len(a.v):
+            # _scan_pass's affected-vertex propagation (and del_arc_pair)
+            # relies on twin symmetry: every arc (v, w) must have its twin
+            # (w^1, v^1) present, else arcs INTO a deleted read would only
+            # be discoverable via the missing twin and the heap scan would
+            # silently diverge from the reference's linear rescan.
+            fwd = np.lexsort((a.w, a.v))
+            rev = np.lexsort((a.v ^ 1, a.w ^ 1))
+            assert (np.array_equal(a.v[fwd], (a.w ^ 1)[rev])
+                    and np.array_equal(a.w[fwd], (a.v ^ 1)[rev])), \
+                "ArcSet is not twin-symmetric; graph cleaning requires it"
         self.arcs = a
         self.n_reads = a.n_reads
         self.alive = np.ones(len(a.v), dtype=bool)

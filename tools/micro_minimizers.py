@@ -21,7 +21,6 @@ w = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 rng = np.random.default_rng(7)
 seqs = jnp.asarray(rng.integers(0, 4, (n_reads, read_len)).astype(np.uint8))
 lens = jnp.asarray(np.full(n_reads, read_len, np.int32))
-cap = -(-int(2 * read_len / (w + 1)) + 64 // 64 * 64) // 64 * 64
 cap = ((int(2 * read_len / (w + 1)) + 64) + 63) // 64 * 64
 
 
