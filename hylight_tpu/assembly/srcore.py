@@ -104,6 +104,12 @@ class WorkingSet:
     # overlaps stay available to later iterations even if the engine's
     # sampled seeding misses them on a re-run
     carry: Optional[OverlapTable] = None
+    # FNO1 projection: candidate pairs induced from the previous
+    # iteration's edges via member placements (FindNextOverlaps.cpp:25-330)
+    # — verified at base level by fno.verify_pairs before scoring. Covers
+    # MERGED rows (the carry covers unchanged rows), so together they are
+    # the full findNextOverlaps capability.
+    proj: Optional["object"] = None
 
     def __post_init__(self):
         if self.mate is None:
@@ -321,10 +327,13 @@ def consensus_group(ws: WorkingSet, labels: np.ndarray,
                     min_support: int = 1, trim: bool = False,
                     min_posterior: float = 0.0
                     ) -> Optional[Tuple[np.ndarray, np.ndarray,
+                                        List[Tuple[int, int, int]],
                                         List[Tuple[int, int, int]]]]:
     """Weighted-majority consensus of oriented members at given offsets.
 
-    Returns (codes, quals, subreads) or None if everything got trimmed.
+    Returns (codes, quals, subreads, member placements) or None if
+    everything got trimmed — placements are (member_row, offset, flip)
+    inside the consensus, the FNO projection's idx bookkeeping.
     Mirrors SRBuilder consensus (:297-533): phred-weighted votes per column,
     N below posterior gate, EC-mode prefix/suffix support trimming."""
     offs = np.asarray(offsets, dtype=np.int64)
@@ -373,16 +382,18 @@ def consensus_group(ws: WorkingSet, labels: np.ndarray,
         return None
 
     subs: List[Tuple[int, int, int]] = []
+    places: List[Tuple[int, int, int]] = []
     for r, o in zip(members, offs):
         r = int(r)
         rl = len(ws.reads.get(r))
         flip = int(labels[r])
+        places.append((r, int(o) - lo, flip))
         for orig, so, sori in ws.subreads[r]:
             if flip:
                 so = rl - so - _orig_len(ws, orig, sori)
                 sori ^= 1
             subs.append((orig, int(o) + so - lo, sori))
-    return cons, newq, subs
+    return cons, newq, subs, places
 
 
 def _orig_len(ws: WorkingSet, orig: int, ori: int) -> int:
@@ -394,17 +405,33 @@ def _orig_len(ws: WorkingSet, orig: int, ori: int) -> int:
 # ---------------------------------------------------------------------------
 # iterations
 
-def _overlaps(ws: WorkingSet, cfg: Config, min_len: int) -> OverlapTable:
+def _overlaps(ws: WorkingSet, cfg: Config, min_len: int,
+              reoverlap: bool = True) -> OverlapTable:
     from dataclasses import replace
     from hylight_tpu.overlap.engine import _dedup_best_per_pair
-    # with PE rows present the engine must emit the >= min_len/2
-    # end-overlaps that the PE admission rule evaluates
-    eff = min_len // 2 if bool((ws.mate >= 0).any()) else min_len
-    oc = replace(cfg.overlap_sr, min_ovlp_len=eff)
-    qb = 256 if ws.n > 256 else max(8, ws.n)
-    table = find_overlaps(ws.reads, cfg=oc, query_block=qb)
+    parts = []
+    if reoverlap or (ws.proj is None and ws.carry is None):
+        # with PE rows present the engine must emit the >= min_len/2
+        # end-overlaps that the PE admission rule evaluates
+        eff = min_len // 2 if bool((ws.mate >= 0).any()) else min_len
+        oc = replace(cfg.overlap_sr, min_ovlp_len=eff)
+        qb = 256 if ws.n > 256 else max(8, ws.n)
+        parts.append(find_overlaps(ws.reads, cfg=oc, query_block=qb))
+    if ws.proj is not None and ws.proj.n:
+        # FNO1-projected pairs, re-verified at base level (the reference
+        # rescores projected overlaps in the next EdgeCalculator run). In
+        # reoverlap=False mode (stage b / pipeline_per_stage semantics,
+        # --FNO=1 with no minimap2 re-run) this is the only fresh source.
+        from hylight_tpu.assembly import fno
+        parts.append(fno.verify_pairs(ws.reads, ws.proj, snp_cap=128,
+                                      min_span=min(min_len // 2, 70)))
     if ws.carry is not None and ws.carry.n:
-        table = _dedup_best_per_pair(OverlapTable.concat([table, ws.carry]))
+        parts.append(ws.carry)
+    if not parts:
+        from hylight_tpu.overlap.engine import _empty_table
+        return _empty_table(128)
+    table = parts[0] if len(parts) == 1 else _dedup_best_per_pair(
+        OverlapTable.concat(parts))
     return table
 
 
@@ -535,7 +562,7 @@ def clique_iteration(ws: WorkingSet, cfg: Config, *, min_overlap_len: int,
 
     out.emit_trivial()
     return out.finish("clique_it", extra=f"{len(cliques)} cliques",
-                      table=table)
+                      table=table, labels=labels)
 
 
 class _SuperreadAccum:
@@ -548,13 +575,16 @@ class _SuperreadAccum:
         self.reads: List[np.ndarray] = []
         self.quals: List[np.ndarray] = []
         self.subs: List[List[Tuple[int, int, int]]] = []
+        self.places: List[List[Tuple[int, int, int]]] = []
         self.pairs: List[Tuple[int, int]] = []
         self.old2new = np.full(ws.n, -1, dtype=np.int64)
 
-    def emit(self, seq, qual, subs) -> int:
+    def emit(self, seq, qual, subs,
+             places: Optional[List[Tuple[int, int, int]]] = None) -> int:
         self.reads.append(seq)
         self.quals.append(qual)
         self.subs.append(subs)
+        self.places.append(places or [])
         return len(self.reads) - 1
 
     def link(self, i: int, j: int) -> None:
@@ -565,7 +595,8 @@ class _SuperreadAccum:
         zero_labels = np.zeros(ws.n, dtype=np.int8)
         for r in np.nonzero(~self.used)[0]:
             s, q = _member_arrays(ws, zero_labels, int(r))
-            self.old2new[r] = self.emit(s, q, list(ws.subreads[r]))
+            self.old2new[r] = self.emit(s, q, list(ws.subreads[r]),
+                                        places=[(int(r), 0, 0)])
         # trivial PE rows whose mate also survived keep their link
         for r in np.nonzero(~self.used)[0]:
             m = int(ws.mate[r])
@@ -573,7 +604,8 @@ class _SuperreadAccum:
                 self.link(int(self.old2new[r]), int(self.old2new[m]))
 
     def finish(self, tag: str, extra: str = "",
-               table: Optional[OverlapTable] = None) -> WorkingSet:
+               table: Optional[OverlapTable] = None,
+               labels: Optional[np.ndarray] = None) -> WorkingSet:
         rs = ReadSet.from_seqs(self.reads, quals=self.quals,
                                names=[str(i) for i in range(len(self.reads))])
         mate = np.full(rs.n, -1, dtype=np.int64)
@@ -582,9 +614,15 @@ class _SuperreadAccum:
                 mate[i], mate[j] = j, i
         log.info("[SR::%s] %d reads -> %d superreads (%d paired) %s",
                  tag, self.ws.n, rs.n, int((mate >= 0).sum()) // 2, extra)
+        proj = None
+        if table is not None and table.n and labels is not None:
+            from hylight_tpu.assembly import fno
+            proj = fno.project_pairs(table, labels, self.places,
+                                     rs.lengths.astype(np.int64))
         return WorkingSet(reads=rs, subreads=self.subs, mate=mate,
                           ctx=self.ws.ctx,
-                          carry=_remap_carry(table, self.old2new))
+                          carry=_remap_carry(table, self.old2new),
+                          proj=proj)
 
 
 def _place_by_edges(members: List[int], edge_of: Dict,
@@ -616,8 +654,8 @@ def _place_by_edges(members: List[int], edge_of: Dict,
 def merge_iteration(ws: WorkingSet, cfg: Config, *, min_overlap_len: int,
                     edge_threshold: float, merge_eps: float = 0.0,
                     remove_branches: bool = True,
-                    remove_tips: bool = False, max_tip_len: int = 150
-                    ) -> Tuple[WorkingSet, int]:
+                    remove_tips: bool = False, max_tip_len: int = 150,
+                    reoverlap: bool = True) -> Tuple[WorkingSet, int]:
     """Greedy disjoint-edge merging (mergeAlongEdges path).
 
     Merge iterations run with cliques=false, which forces
@@ -633,7 +671,7 @@ def merge_iteration(ws: WorkingSet, cfg: Config, *, min_overlap_len: int,
     TRUE (``ViralQuasispecies.cpp:85,322``; pipeline_per_stage passes no
     flag) — so tips run in stage-b merge iterations with its
     --max_tip_len 1000 (``HyLight.py:320-323``)."""
-    table = _overlaps(ws, cfg, min_overlap_len)
+    table = _overlaps(ws, cfg, min_overlap_len, reoverlap=reoverlap)
     admitted = admit_edges(table, ws.reads,
                            min_overlap_len=min_overlap_len,
                            edge_threshold=edge_threshold,
@@ -721,7 +759,8 @@ def merge_iteration(ws: WorkingSet, cfg: Config, *, min_overlap_len: int,
     n_merged += _merge_edge_list(g, order)
 
     out.emit_trivial()
-    nws = out.finish("merge_it", extra=f"{n_merged} merges", table=table)
+    nws = out.finish("merge_it", extra=f"{n_merged} merges", table=table,
+                     labels=labels)
     return nws, n_merged
 
 

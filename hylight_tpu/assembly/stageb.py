@@ -39,13 +39,18 @@ def extend_contigs(contigs: ReadSet, cfg: Config, *,
         work, ctx=srcore.SRContext.from_reads(work))
     stable = 0
     with stage("stage_b"):
-        for _ in range(max_iterations):
+        for it in range(max_iterations):
             prev = ws.n
+            # the reference's stage b never re-runs minimap2: extend_con's
+            # initial alignment feeds iteration 1 and every later iteration
+            # consumes --FNO=1 induced overlaps (pipeline_per_stage.py:179-
+            # 203) — matched here by reoverlap only on the first pass
             ws, n_merged = srcore.merge_iteration(
                 ws, cfg, min_overlap_len=mol,
                 edge_threshold=sb.edge_threshold, merge_eps=1e-6,
                 remove_branches=sb.remove_branches,
-                remove_tips=True, max_tip_len=sb.max_tip_len)
+                remove_tips=True, max_tip_len=sb.max_tip_len,
+                reoverlap=(it == 0))
             if n_merged == 0 or ws.n == prev:
                 stable += 1
                 if stable >= 2:
