@@ -91,7 +91,8 @@ def hybrid_assemble(lr: ReadSet, sr: Optional[ReadSet], cfg: Config, *,
                     lr = correct_reads(lr, spectrum_reads=sr,
                                        k=cfg.correct.lr_k,
                                        min_count=cfg.correct.sr_min_count,
-                                       rounds=cfg.correct.lr_rounds)
+                                       rounds=cfg.correct.lr_rounds,
+                                       indels=cfg.correct.lr_indels)
                 ck.save("corrected_lr", lr)
 
     # 2. long-read contigs

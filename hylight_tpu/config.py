@@ -172,6 +172,7 @@ class CorrectConfig:
     sr_min_count: int = 3       # solid k-mer threshold
     lr_k: int = 21              # long-read correction k (fmlrc2-style short k)
     lr_rounds: int = 3          # fmlrc2 x3 (HyLight.py:107-110)
+    lr_indels: bool = True      # fmlrc2 repairs indels; score del/ins edits
     skip: bool = False          # HyLight --corrected
 
 

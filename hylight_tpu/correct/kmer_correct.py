@@ -17,10 +17,18 @@ and ``ropebwt2 + fmlrc2-convert + fmlrc2 x3`` for long reads
   greedy single-substitution rule, applied per sweep; fmlrc-style multiple
   rounds re-apply the sweep with the fixed bases).
 
-Substitution-only: indel repair is left to the downstream consensus/polish
-stages (now indel-capable, see ``ops/consensus.py``); this matches bfc's
-substitution-only model for short reads, while long-read indels are fixed by
-the polish rounds rather than here (documented deviation from fmlrc2).
+Indel repair (fmlrc2 capability, ``HyLight.py:106-110``): with
+``indels=True`` each sweep additionally scores a single-base deletion and
+the four single-base insertions at every position, by digit surgery on the
+two-lane codes (a deletion k-mer spanning removed base p blends the high
+digits of code(s) with the low digits of code(s+1); an insertion splices a
+new digit into code(s) shifted one digit down) — no re-encoding pass. An
+edit is applied when every novel k-mer it creates is solid while the
+original base leaves a weak covering k-mer; edits are applied host-side
+with a >k spacing rule per sweep (edits never interact within one sweep),
+and multiple ``rounds`` converge the rest — the same
+anchor-and-bridge-by-spectrum behavior as fmlrc's short-k pass. Short-read
+(bfc) mode keeps the substitution-only model, matching bfc itself.
 """
 
 from __future__ import annotations
@@ -225,12 +233,131 @@ def _correct_block(seqs, lens, h1s, h2s, *, k):
     return out, n_fixed
 
 
+def _digit_mask(t: int, k: int) -> Tuple[np.uint32, np.uint32]:
+    """(lo, hi) lane masks selecting digits d < t of a 2k-bit code."""
+    full = (1 << (2 * k)) - 1
+    m = ((1 << (2 * t)) - 1) & full
+    return np.uint32(m & 0xFFFFFFFF), np.uint32(m >> 32)
+
+
+def _shift_down(hi, lo):
+    """Code >> one digit (drop digit 0, digit d+1 -> d)."""
+    return hi >> jnp.uint32(2), (lo >> jnp.uint32(2)) | (hi << jnp.uint32(30))
+
+
+def _shift_up(hi, lo):
+    """Code << one digit (digit d -> d+1, top digit dropped by masks)."""
+    return (hi << jnp.uint32(2)) | (lo >> jnp.uint32(30)), lo << jnp.uint32(2)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _indel_scores_block(seqs, lens, h1s, h2s, *, k):
+    """Score single-base deletion / insertion repairs at every position.
+
+    Returns (del_ok, ins_ok, ins_base): bool [B, L] apply masks and the
+    uint8 [B, L] insertion base. del_ok[p]: removing base p makes all k-1
+    novel k-mers (blends of the flanks) solid while p currently has a weak
+    covering k-mer. ins_ok[p]: inserting ins_base[p] BEFORE position p
+    makes all k novel k-mers solid, ditto. Out-of-range trial k-mers count
+    as solid (same edge rule as the substitution sweep).
+    """
+    B, L = seqs.shape
+    Lk = L - k + 1
+
+    f_hi, f_lo, r_hi, r_lo, valid = _kmer_lanes(seqs, lens, k)
+    c_hi, c_lo = _canon(f_hi, f_lo, r_hi, r_lo)
+    base_solid = jnp.where(valid, _member(h1s, h2s, c_hi, c_lo), True)
+    weak = (~base_solid).astype(jnp.int32)
+    wpad = jnp.pad(weak, ((0, 0), (k - 1, k - 1)))
+    cover_weak = jax.lax.reduce_window(
+        wpad, np.int32(0), jax.lax.add, (1, k), (1, 1), "valid")[:, :L]
+    in_read = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1) < lens[:, None]
+
+    def nxt(x, fill):
+        """code arrays shifted to start s+1 (same [B, Lk] shape)."""
+        return jnp.concatenate(
+            [x[:, 1:], jnp.full((B, 1), fill, x.dtype)], axis=1)
+
+    f_hi1, f_lo1 = nxt(f_hi, jnp.uint32(0)), nxt(f_lo, jnp.uint32(0))
+    r_hi1, r_lo1 = nxt(r_hi, jnp.uint32(0)), nxt(r_lo, jnp.uint32(0))
+    valid1 = nxt(valid, False)
+
+    # --- deletion of base p: novel k-mer at start s = p - m, m in 1..k-1
+    # blends digits d >= k-m of code(s) with digits d < k-m of code(s+1)
+    # (forward), and RC digits j < m of rc(s) with j >= m of rc(s+1).
+    del_gain = jnp.zeros((B, L), jnp.int32)
+    for m in range(1, k):
+        lo_m, hi_m = _digit_mask(k - m, k)          # digits d < k-m
+        t_flo = (f_lo & ~lo_m) | (f_lo1 & lo_m)
+        t_fhi = (f_hi & ~hi_m) | (f_hi1 & hi_m)
+        rlo_m, rhi_m = _digit_mask(m, k)            # rc digits j < m
+        t_rlo = (r_lo & rlo_m) | (r_lo1 & ~rlo_m)
+        t_rhi = (r_hi & rhi_m) | (r_hi1 & ~rhi_m)
+        t_hi, t_lo = _canon(t_fhi, t_flo, t_rhi, t_rlo)
+        ok = valid & valid1
+        hit = jnp.where(ok, _member(h1s, h2s, t_hi, t_lo), True)
+        # start s contributes to deleted position p = s + m
+        del_gain = del_gain + jnp.pad(
+            hit, ((0, 0), (m, L - Lk - m)),
+            constant_values=True).astype(jnp.int32)
+    del_ok = (del_gain == k - 1) & (cover_weak > 0) & in_read
+
+    # --- insertion of base b before p: novel k-mer at start s = p - m,
+    # m in 0..k-1: digits d > k-1-m from code(s), digit k-1-m = b,
+    # digits d < k-1-m from code(s) >> one digit.
+    sf_hi, sf_lo = _shift_down(f_hi, f_lo)
+    sr_hi, sr_lo = _shift_up(r_hi, r_lo)
+    best_ins_gain = jnp.zeros((B, L), jnp.int32)
+    best_ins_base = jnp.zeros((B, L), jnp.uint8)
+    for b in range(4):
+        gain_b = jnp.zeros((B, L), jnp.int32)
+        for m in range(k):
+            t = k - 1 - m
+            lo_m, hi_m = _digit_mask(t, k)          # digits d < t
+            lo_hi_m, hi_hi_m = _digit_mask(t + 1, k)
+            keep_lo = np.uint32(~lo_hi_m & 0xFFFFFFFF)
+            keep_hi = np.uint32(~hi_hi_m & 0xFFFFFFFF)
+            if t < 16:
+                d_lo, d_hi = jnp.uint32(b << (2 * t)), jnp.uint32(0)
+            else:
+                d_lo, d_hi = jnp.uint32(0), jnp.uint32(b << (2 * (t - 16)))
+            t_flo = (f_lo & keep_lo) | d_lo | (sf_lo & lo_m)
+            t_fhi = (f_hi & keep_hi) | d_hi | (sf_hi & hi_m)
+            # rc: digits j < m from rc(s); digit m = 3-b; j > m from
+            # rc(s) << one digit
+            rlo_m, rhi_m = _digit_mask(m, k)
+            rlo_m1, rhi_m1 = _digit_mask(m + 1, k)
+            if m < 16:
+                rd_lo = jnp.uint32((3 - b) << (2 * m))
+                rd_hi = jnp.uint32(0)
+            else:
+                rd_lo = jnp.uint32(0)
+                rd_hi = jnp.uint32((3 - b) << (2 * (m - 16)))
+            fulllo, fullhi = _digit_mask(k, k)
+            t_rlo = (r_lo & rlo_m) | rd_lo | (sr_lo & fulllo & ~rlo_m1)
+            t_rhi = (r_hi & rhi_m) | rd_hi | (sr_hi & fullhi & ~rhi_m1)
+            t_hi, t_lo = _canon(t_fhi, t_flo, t_rhi, t_rlo)
+            hit = jnp.where(valid, _member(h1s, h2s, t_hi, t_lo), True)
+            gain_b = gain_b + jnp.pad(
+                hit, ((0, 0), (m, L - Lk - m)),
+                constant_values=True).astype(jnp.int32)
+        better = gain_b > best_ins_gain
+        best_ins_gain = jnp.where(better, gain_b, best_ins_gain)
+        best_ins_base = jnp.where(better, jnp.uint8(b), best_ins_base)
+    ins_ok = (best_ins_gain == k) & (cover_weak > 0) & in_read
+
+    return del_ok, ins_ok, best_ins_base
+
+
 def correct_reads(reads: ReadSet, spectrum_reads: Optional[ReadSet] = None,
                   *, k: int = 25, min_count: int = 3, rounds: int = 1,
-                  block: int = 2048) -> ReadSet:
+                  block: int = 2048, indels: bool = False) -> ReadSet:
     """Correct ``reads`` against the k-mer spectrum of ``spectrum_reads``
     (default: the reads themselves — the bfc mode; pass the short reads to
-    correct long reads — the fmlrc mode with ``rounds=3``)."""
+    correct long reads — the fmlrc mode with ``rounds=3`` and
+    ``indels=True``). With indels, each round runs the substitution sweep
+    on device, then scores single-base del/ins repairs on the result and
+    applies non-interacting ones host-side (read lengths may change)."""
     assert k <= 32
     src = spectrum_reads if spectrum_reads is not None else reads
     solid, _ = build_spectrum(src, k=k, min_count=min_count)
@@ -242,21 +369,91 @@ def correct_reads(reads: ReadSet, spectrum_reads: Optional[ReadSet] = None,
     L = bucket_len(int(reads.lengths.max(initial=1)))
 
     out_seqs = []
+    out_quals = [] if reads.qual is not None else None
     total_fixed = 0
+    total_indels = 0
     for lo in range(0, reads.n, block):
         idx = np.arange(lo, min(lo + block, reads.n))
         sub = reads.subset(idx)
-        seqs, lens = sub.to_padded(max_len=L)
-        seqs_d = jnp.asarray(seqs)
-        lens_d = jnp.asarray(lens)
+        cur = [sub.get(i) for i in range(sub.n)]
+        curq = [sub.get_qual(i) for i in range(sub.n)] \
+            if reads.qual is not None else None
         for _ in range(rounds):
+            seqs, lens = _pad_list(cur, L)
+            seqs_d = jnp.asarray(seqs)
+            lens_d = jnp.asarray(lens)
             seqs_d, n_fixed = _correct_block(seqs_d, lens_d, h1s, h2s, k=k)
             total_fixed += int(n_fixed)
-        arr = np.asarray(seqs_d)
-        for i, ln in enumerate(np.asarray(lens_d)):
-            out_seqs.append(arr[i, :int(ln)])
-    log.info("[K::correct] fixed %d bases over %d reads", total_fixed,
-             reads.n)
-    quals = [reads.get_qual(i) for i in range(reads.n)] \
-        if reads.qual is not None else None
-    return ReadSet.from_seqs(out_seqs, quals=quals, names=list(reads.names))
+            arr = np.asarray(seqs_d)
+            cur = [arr[i, :len(cur[i])] for i in range(len(cur))]
+            if not indels:
+                continue
+            d_ok, i_ok, i_b = _indel_scores_block(seqs_d, lens_d, h1s, h2s,
+                                                  k=k)
+            d_ok = np.asarray(d_ok)
+            i_ok = np.asarray(i_ok)
+            i_b = np.asarray(i_b)
+            for i in range(len(cur)):
+                s2, q2, ne = _apply_indel_edits_q(
+                    cur[i], curq[i] if curq is not None else None,
+                    d_ok[i], i_ok[i], i_b[i], k)
+                total_indels += ne
+                cur[i] = s2
+                if curq is not None:
+                    curq[i] = q2
+        out_seqs.extend(cur)
+        if out_quals is not None:
+            out_quals.extend(curq)
+    log.info("[K::correct] fixed %d bases (+%d indel edits) over %d reads",
+             total_fixed, total_indels, reads.n)
+    return ReadSet.from_seqs(out_seqs, quals=out_quals,
+                             names=list(reads.names))
+
+
+def _pad_list(seq_list, L):
+    n = len(seq_list)
+    seqs = np.full((n, L), 4, np.uint8)
+    lens = np.zeros(n, np.int32)
+    for i, s in enumerate(seq_list):
+        m = min(len(s), L)
+        seqs[i, :m] = s[:m]
+        lens[i] = m
+    return seqs, lens
+
+
+def _apply_indel_edits_q(seq, qual, del_ok, ins_ok, ins_base, k):
+    """Apply non-interacting del/ins edits (>k spacing) to one read and,
+    when present, its phred array (inserted bases take the left neighbour's
+    qual). Returns (seq, qual, n_edits)."""
+    L = len(seq)
+    pos = np.nonzero(del_ok[:L] | ins_ok[:L])[0]
+    if len(pos) == 0:
+        return seq, qual, 0
+    pieces, qpieces = [], []
+    prev = 0
+    last_edit = -(k + 1)
+    n_edits = 0
+    for p in pos:
+        p = int(p)
+        if p - last_edit <= k:
+            continue
+        last_edit = p
+        n_edits += 1
+        if del_ok[p]:
+            pieces.append(seq[prev:p])
+            if qual is not None:
+                qpieces.append(qual[prev:p])
+            prev = p + 1
+        else:
+            pieces.append(seq[prev:p])
+            pieces.append(np.asarray([ins_base[p]], dtype=seq.dtype))
+            if qual is not None:
+                qpieces.append(qual[prev:p])
+                qv = qual[p - 1] if p > 0 else (qual[p] if L else 15)
+                qpieces.append(np.asarray([qv], dtype=qual.dtype))
+            prev = p
+    pieces.append(seq[prev:])
+    if qual is not None:
+        qpieces.append(qual[prev:])
+        return (np.concatenate(pieces), np.concatenate(qpieces), n_edits)
+    return np.concatenate(pieces), None, n_edits

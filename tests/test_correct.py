@@ -104,3 +104,76 @@ def test_stage_b_extends_contigs(rng):
     s = decode_seq(out.get(0))
     assert s == decode_seq(g) or decode_seq(revcomp_codes(out.get(0))) == \
         decode_seq(g)
+
+
+def _edit_distance_identity(a: np.ndarray, b: np.ndarray) -> float:
+    """1 - editdist/max(len) via a simple banded DP (band 64)."""
+    la, lb = len(a), len(b)
+    band = 64
+    INF = 1 << 20
+    prev = {0: 0}
+    for j in range(1, min(lb, band) + 1):
+        prev[j] = j
+    for i in range(1, la + 1):
+        cur = {}
+        lo = max(0, i - band)
+        hi = min(lb, i + band)
+        for j in range(lo, hi + 1):
+            best = INF
+            if j == 0:
+                best = i
+            else:
+                c = 0 if a[i - 1] == b[j - 1] else 1
+                best = min(best, prev.get(j - 1, INF) + c)
+                best = min(best, cur.get(j - 1, INF) + 1)
+            best = min(best, prev.get(j, INF) + 1)
+            cur[j] = best
+        prev = cur
+    d = prev.get(lb, INF)
+    return 1.0 - d / max(la, lb)
+
+
+def test_lr_indel_correction():
+    """fmlrc2 capability: raw long reads with ins+del+sub errors are
+    repaired by the spectrum sweeps with indels=True (HyLight.py:106-110).
+    """
+    rng = np.random.default_rng(42)
+    g = rng.integers(0, 4, size=4000).astype(np.uint8)
+    sr = ReadSet.from_seqs([g[s:s + 150] for s in range(0, 3851, 5)])
+
+    lr_clean = g[100:3900]
+    # inject sub/del/ins errors at spaced positions
+    lr = list(lr_clean)
+    pos = np.arange(60, 3700, 120)
+    rng.shuffle(pos)
+    for i, p in enumerate(sorted(pos, reverse=True)):
+        kind = i % 3
+        if kind == 0:
+            lr[p] = (lr[p] + 1) % 4
+        elif kind == 1:
+            del lr[p]
+        else:
+            lr.insert(p, int(rng.integers(0, 4)))
+    lr = np.asarray(lr, np.uint8)
+    id_before = _edit_distance_identity(lr, lr_clean)
+    assert id_before < 0.995
+
+    lrs = ReadSet.from_seqs([lr])
+    fixed = correct_reads(lrs, spectrum_reads=sr, k=21, min_count=3,
+                          rounds=4, indels=True)
+    id_after = _edit_distance_identity(fixed.get(0), lr_clean)
+    assert id_after > 0.999, (id_before, id_after)
+
+
+def test_indel_correction_preserves_quals():
+    rng = np.random.default_rng(43)
+    g = rng.integers(0, 4, size=1500).astype(np.uint8)
+    sr = ReadSet.from_seqs([g[s:s + 150] for s in range(0, 1351, 5)])
+    lr = np.delete(g[100:1400].copy(), [200, 600])   # two deletions
+    lr = np.insert(lr, 900, 2)                       # one insertion
+    q = np.full(len(lr), 20, np.uint8)
+    lrs = ReadSet.from_seqs([lr], quals=[q])
+    fixed = correct_reads(lrs, spectrum_reads=sr, k=21, min_count=3,
+                          rounds=3, indels=True)
+    assert fixed.qual is not None
+    assert len(fixed.get_qual(0)) == len(fixed.get(0))

@@ -125,3 +125,27 @@ def test_streamed_matches_plain(rng):
           for q, d, i in zip(t_plain.qid, t_plain.tid, t_plain.identity)}
     for q, d, i in zip(t_str.qid, t_str.tid, t_str.identity):
         assert abs(pl[(int(q), int(d))] - float(i)) < 1e-5
+
+
+def test_ultralong_reads_legacy_path(rng):
+    """Reads longer than the packed self-join budget (32 kb) must fall back
+    to the query-block gather path and still find dovetails — the 100 kb
+    ONT-read story (reference handles these via minimap2's heap chaining,
+    ``filter_overlap_slr2.py:51``; here the length bucket simply exceeds
+    the self-join packing limit)."""
+    g = rng.integers(0, 4, size=60_000).astype(np.uint8)
+    reads = [g[:40_000], g[20_000:60_000], g[5_000:45_000]]
+    # 1% substitution noise on one read
+    r = reads[1].copy()
+    e = rng.random(r.shape[0]) < 0.01
+    r[e] = (r[e] + rng.integers(1, 4, int(e.sum())).astype(np.uint8)) % 4
+    reads[1] = r
+    cfg = OverlapConfig(k=15, w=10, min_ovlp_len=5000, min_identity=0.9,
+                        min_anchors=8, min_chain_score=500, max_occ=16,
+                        anchors_per_pair=256, gap_tile=32)
+    t = find_overlaps(ReadSet.from_seqs(reads), cfg=cfg)
+    p = _pairs(t)
+    assert (0, 1) in p and (0, 2) in p and (1, 2) in p
+    i = p[(0, 1)]
+    assert int(t.qe[i]) - int(t.qs[i]) > 15_000
+    assert t.identity[i] > 0.95

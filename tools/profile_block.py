@@ -3,6 +3,7 @@
 Usage: python tools/profile_block.py [n_reads] [read_len]
 """
 import sys, time, numpy as np
+sys.path.insert(0, "/root/repo")
 import jax, jax.numpy as jnp
 from hylight_tpu.io.readset import ReadSet
 from hylight_tpu.ops.minimizers import minimizers
@@ -11,8 +12,11 @@ from hylight_tpu.overlap.chain import refine_chains
 from hylight_tpu.overlap.extend import extend_chains
 from hylight_tpu.overlap.filters import admission_filter
 
-n_reads = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-read_len = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+n_reads = int(args[0]) if len(args) > 0 else 64
+read_len = int(args[1]) if len(args) > 1 else 8192
+w = int(args[2]) if len(args) > 2 else 5
+max_occ = int(args[3]) if len(args) > 3 else 16
 max_pairs = max(2048, n_reads * 16)
 
 rng = np.random.default_rng(7)
@@ -27,7 +31,7 @@ for r in reads:
 rs = ReadSet.from_seqs(reads)
 seqs_np, lens_np = rs.to_padded(max_len=read_len)
 seqs=jnp.asarray(seqs_np); lens=jnp.asarray(lens_np)
-mcap = 2816
+mcap = ((int(2 * read_len / (w + 1)) + 64) + 63) // 64 * 64
 
 def timeit(name, f, *a):
     r = f(*a); _ = np.asarray(jax.tree.leaves(r)[0]).ravel()[:1]
@@ -36,17 +40,17 @@ def timeit(name, f, *a):
     _ = np.asarray(jax.tree.leaves(r)[0]).ravel()[:1]
     print(name, round((time.time()-t0)/iters,4), flush=True); return r
 
-ms = timeit("minimizers", lambda s,l: minimizers(s,l,k=15,w=5,cap=mcap), seqs, lens)
-idx = timeit("build_index", lambda m: sm.build_index(m,0,max_occ=16), ms)
+ms = timeit("minimizers", lambda s,l: minimizers(s,l,k=15,w=w,cap=mcap), seqs, lens)
+idx = timeit("build_index", lambda m: sm.build_index(m,0,max_occ=max_occ), ms)
 if "--legacy" in sys.argv:
-    an = timeit("collect_anchors", lambda m,i: sm.collect_anchors(m,0,i,max_hits=16,dedup_self=True), ms, idx)
+    an = timeit("collect_anchors", lambda m,i: sm.collect_anchors(m,0,i,max_hits=max_occ,dedup_self=True), ms, idx)
     cand = timeit("group_candidates", lambda a,l: sm.group_candidates(
         a,l.astype(jnp.int32),bandwidth=64,min_anchors=4,max_pairs=max_pairs,
-        anchors_per_pair=256,row_size=mcap*16,k=15), an, lens)
+        anchors_per_pair=256,row_size=mcap*max_occ,k=15), an, lens)
 else:
     cand = timeit("self_join", lambda i,l: sm.self_join_candidates(
         i,l.astype(jnp.int32),bandwidth=64,min_anchors=4,max_pairs=max_pairs,
-        anchors_per_pair=256,max_occ=16,k=15,n_reads=n_reads,
+        anchors_per_pair=256,max_occ=max_occ,k=15,n_reads=n_reads,
         max_len=read_len), idx, lens)
 ch = timeit("refine_chains", lambda c: refine_chains(c,k=15,min_score=100,max_gap=10000), cand)
 ext = timeit("extend_chains", lambda c,s: extend_chains(c,s,k=15,gap_tile=32,max_mismatch=64), ch, seqs)
