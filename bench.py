@@ -26,7 +26,7 @@ import numpy as np
 
 BASELINE_PAIRS_PER_S = 2000.0  # documented estimate, see BASELINE.md
 READ_LEN = 8192
-SIZES = (64, 256, 1024)
+SIZES = (64, 256, 1024, 2048)
 ITERS = 5
 
 
@@ -55,9 +55,12 @@ def _bench_size(n_reads):
     rs = ReadSet.from_seqs(_make_reads(rng, n_reads))
     seqs_np, lens_np = rs.to_padded(max_len=READ_LEN)
 
+    # production config for corrected LR blocks (cli.config_from_args):
+    # MXU matmul pair finding + per-pair join (overlap/seed_mxu.py)
     cfg = OverlapConfig(k=15, w=10, min_ovlp_len=2000, min_identity=0.9,
                         min_anchors=4, min_chain_score=100, max_occ=16,
-                        anchors_per_pair=256, gap_tile=32)
+                        anchors_per_pair=256, gap_tile=32,
+                        seed_mode="mxu")
     fn = make_block_fn(cfg, mcap=1600, max_pairs=max(2048, 16 * n_reads),
                        snp_cap=64, n_reads=n_reads, max_len=READ_LEN)
 

@@ -61,7 +61,12 @@ def config_from_args(a) -> Config:
     cfg = cfg.replace(
         overlap=OverlapConfig(min_ovlp_len=a.min_ovlp_len,
                               min_identity=a.min_identity,
-                              w=5 if a.low_q else 10),
+                              w=5 if a.low_q else 10,
+                              # corrected long reads share >> noise-floor
+                              # minimizers per admissible overlap -> MXU
+                              # matmul pair finding; raw high-error input
+                              # keeps the exact global-sort join
+                              seed_mode="sort" if a.low_q else "mxu"),
         # HyLight feeds --max_tip_len to miniasm -d, which IS the
         # bubble-popping distance (main.c:51,90; SURVEY.md §2.2)
         layout=LayoutConfig(max_tip_len=a.max_tip_len,

@@ -47,6 +47,14 @@ class OverlapConfig:
     gap_tile: int = 64          # banded-DP tile for inter-anchor gaps
     max_indel_band: int = 8     # banded-DP half-width for indel-gap verify
     #                             (0 disables; larger indels use the estimate)
+    seed_mode: str = "sort"     # "sort": global-sort self-join (exact
+    #                             minimap2 anchor multiset; works on raw
+    #                             high-error reads). "mxu": matmul pair
+    #                             finding + per-pair join (seed_mxu.py) —
+    #                             for corrected/low-error read sets where
+    #                             overlaps share >> noise-floor minimizers.
+    mxu_bucket_bits: int = 15   # C-matrix histogram bucket count (2^bits)
+    mxu_margin: float = 8.0     # sigmas above collision noise for pair admission
 
 
 @dataclass(frozen=True)

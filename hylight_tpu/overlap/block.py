@@ -33,10 +33,31 @@ def make_block_fn(cfg: OverlapConfig, *, mcap: int, max_pairs: int,
         0 < max_len < (1 << 15)
         and 0 < n_reads
         and 2 * n_reads * ((3 * max_len) // 64 + 2) < (1 << 31))
+    use_mxu = (cfg.seed_mode == "mxu" and 0 < max_len < (1 << 15)
+               and 0 < n_reads)
 
     @jax.jit
     def block_fn(seqs: jax.Array, lens: jax.Array):
         ms = minimizers(seqs, lens, k=cfg.k, w=cfg.w, cap=mcap)
+        if use_mxu:
+            from hylight_tpu.overlap.seed_mxu import mxu_candidates
+            cand = mxu_candidates(
+                ms, lens.astype(jnp.int32), bandwidth=64,
+                min_anchors=cfg.min_anchors, max_pairs=max_pairs,
+                anchors_per_pair=cfg.anchors_per_pair,
+                max_occ=cfg.max_occ, k=cfg.k, n_reads=n_reads,
+                max_len=max_len, bucket_bits=cfg.mxu_bucket_bits,
+                margin=cfg.mxu_margin)
+            ch = refine_chains(cand, k=cfg.k, min_score=cfg.min_chain_score,
+                               max_gap=cfg.max_gap)
+            ext = extend_chains(ch, seqs, k=cfg.k, gap_tile=cfg.gap_tile,
+                                max_mismatch=snp_cap,
+                                max_indel_band=cfg.max_indel_band)
+            sc = admission_filter(ch, ext, min_len=cfg.min_ovlp_len,
+                                  min_identity=cfg.min_identity,
+                                  max_overhang=cfg.max_overhang,
+                                  overhang_ratio=cfg.overhang_ratio)
+            return ch, ext, sc
         index = seed_mod.build_index(ms, 0, max_occ=cfg.max_occ)
         if use_self_join:
             cand = seed_mod.self_join_candidates(

@@ -152,13 +152,19 @@ def find_overlaps(reads: ReadSet, targets: Optional[ReadSet] = None, *,
     ms_all = minimizers(seqs_d, lens_d[:nq] if not ava else lens_d,
                         k=cfg.k, w=cfg.w, cap=mcap)
 
-    # target index over rows [t_off, t_off+nt)
-    if ava:
-        tm = ms_all
-    else:
-        mcap_t = _round_up(int(2 * Lt / (cfg.w + 1)) + 64, 64)
-        tm = minimizers(seqs_t_d, tlens_d, k=cfg.k, w=cfg.w, cap=mcap_t)
-    index = seed_mod.build_index(tm, t_off, max_occ=cfg.max_occ)
+    # target index over rows [t_off, t_off+nt) — skipped by the mxu fast
+    # path (its pair finding + per-pair join never touch a global index)
+    NA_pre = lens_d.shape[0] if ava else nq
+    fast_ava = (ava and NA_pre <= 4096 and Lq < (1 << 15)
+                and 2 * NA_pre * ((3 * Lq) // 64 + 2) < (1 << 31))
+    index = None
+    if not (fast_ava and cfg.seed_mode == "mxu"):
+        if ava:
+            tm = ms_all
+        else:
+            mcap_t = _round_up(int(2 * Lt / (cfg.w + 1)) + 64, 64)
+            tm = minimizers(seqs_t_d, tlens_d, k=cfg.k, w=cfg.w, cap=mcap_t)
+        index = seed_mod.build_index(tm, t_off, max_occ=cfg.max_occ)
 
     B = min(query_block, nq)
     P = pairs_per_block or _round_up(B * 32, 256)
@@ -173,19 +179,28 @@ def find_overlaps(reads: ReadSet, targets: Optional[ReadSet] = None, *,
     if ava and NA <= 4096 and Lq < (1 << 15) \
             and 2 * NA * ((3 * Lq) // 64 + 2) < (1 << 31):
         P_all = pairs_per_block or _round_up(NA * 24, 256)
-        # right-size the join fan-out to the longest surviving hash run
-        # (bucketed to powers of two so compiles are reused): deep max_occ
-        # settings otherwise pay for empty roll layers
-        D = int(_max_run_len(index.hash, index.tid2s))
-        join_occ = 2
-        while join_occ < min(max(D, 2), cfg.max_occ):
-            join_occ *= 2
-        join_occ = min(join_occ, cfg.max_occ)
-        cand = seed_mod.self_join_candidates(
-            index, lens_d.astype(jnp.int32), bandwidth=64,
-            min_anchors=cfg.min_anchors, max_pairs=P_all,
-            anchors_per_pair=A, max_occ=cfg.max_occ, k=cfg.k,
-            n_reads=NA, max_len=Lq, join_occ=join_occ)
+        if cfg.seed_mode == "mxu":
+            from hylight_tpu.overlap.seed_mxu import mxu_candidates
+            cand = mxu_candidates(
+                ms_all, lens_d.astype(jnp.int32), bandwidth=64,
+                min_anchors=cfg.min_anchors, max_pairs=P_all,
+                anchors_per_pair=A, max_occ=cfg.max_occ, k=cfg.k,
+                n_reads=NA, max_len=Lq,
+                bucket_bits=cfg.mxu_bucket_bits, margin=cfg.mxu_margin)
+        else:
+            # right-size the join fan-out to the longest surviving hash
+            # run (bucketed to powers of two so compiles are reused):
+            # deep max_occ settings otherwise pay for empty roll layers
+            D = int(_max_run_len(index.hash, index.tid2s))
+            join_occ = 2
+            while join_occ < min(max(D, 2), cfg.max_occ):
+                join_occ *= 2
+            join_occ = min(join_occ, cfg.max_occ)
+            cand = seed_mod.self_join_candidates(
+                index, lens_d.astype(jnp.int32), bandwidth=64,
+                min_anchors=cfg.min_anchors, max_pairs=P_all,
+                anchors_per_pair=A, max_occ=cfg.max_occ, k=cfg.k,
+                n_reads=NA, max_len=Lq, join_occ=join_occ)
         ch = refine_chains(cand, k=cfg.k, min_score=cfg.min_chain_score,
                            max_gap=cfg.max_gap)
         ext = extend_chains(ch, seqs_d, k=cfg.k, gap_tile=cfg.gap_tile,

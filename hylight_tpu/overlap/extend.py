@@ -185,12 +185,93 @@ def _banded_gap_matches(qgap: jax.Array, tgap: jax.Array, dmax: int
     return jnp.maximum(rG[..., dmax], 0)
 
 
+def _verify_tier(qpacked, tpacked, ch, tid_row, aq_s, at_s, gap_s, equal_s,
+                 gq_s, gt_s, ver_s, *, k: int, G: int, pad_bases: int,
+                 max_indel_band: int):
+    """Window-gather + compare + banded DP for ONE tier of selected links.
+
+    All inputs are [P, AG]-compacted link arrays; returns the tier's
+    (matches_add, ver_cols_add, n_cols, mm event tuple) where the mm tuple
+    concatenates equal-gap events and indel-suffix events along axis 1.
+    """
+    P = aq_s.shape[0]
+    j = jnp.arange(G, dtype=jnp.int32)[None, None, :]
+    q0 = (aq_s + k)[..., None] + j
+    t0 = (at_s + k)[..., None] + j
+    incol = (j < jnp.minimum(gap_s, G)[..., None]) & equal_s[..., None]
+    if max_indel_band > 0:
+        inq = (j < gq_s[..., None]) & ver_s[..., None]
+        int_ = (j < gt_s[..., None]) & ver_s[..., None]
+    else:
+        inq = int_ = jnp.zeros_like(incol)
+    q_raw, t_raw = _gap_windows(qpacked, tpacked, ch.qid, tid_row,
+                                ch.strand, ch.tlen, aq_s, at_s,
+                                k=k, G=G, pad_bases=pad_bases)
+    q_all = jnp.where(incol | inq, q_raw, 4)
+    t_all = jnp.where(incol | int_, t_raw, 4)
+    qb = jnp.where(incol, q_all, 4)
+    tb = jnp.where(incol, t_all, 4)
+
+    both_acgt = (qb < 4) & (tb < 4) & incol
+    eq = both_acgt & (qb == tb)
+    mm = both_acgt & (qb != tb)
+
+    ver_cols = jnp.sum(both_acgt, axis=(1, 2)).astype(jnp.int32)
+    matches = jnp.sum(eq, axis=(1, 2)).astype(jnp.int32)
+
+    mm2 = jnp.zeros_like(mm)
+    t0_suffix = t0
+    tb2 = tb
+    if max_indel_band > 0:
+        band = min(max_indel_band, G)
+        qgap = jnp.where(inq, q_all, 4)
+        tgap = jnp.where(int_, t_all, 4)
+        m_u = _banded_gap_matches(qgap, tgap, band)        # [P, AG]
+        matches = matches + jnp.sum(
+            jnp.where(ver_s, m_u, 0), axis=1).astype(jnp.int32)
+        ver_cols = ver_cols + jnp.sum(
+            jnp.where(ver_s, jnp.minimum(gq_s, gt_s), 0), axis=1
+        ).astype(jnp.int32)
+        # single-indel suffix model: see extend_chains docstring
+        delta = (gq_s - gt_s)[..., None]
+        scan_m = (j < jnp.minimum(gq_s, gt_s)[..., None])
+        both_g = (qgap < 4) & (tgap < 4)
+        difm = (qgap != tgap) & both_g & scan_m
+        has_d = jnp.any(difm, axis=-1)
+        p_star = jnp.where(has_d, jnp.argmax(difm, axis=-1),
+                           jnp.minimum(gq_s, gt_s)).astype(jnp.int32)
+        jt = j - delta
+        t0s = at_s + k - (gq_s - gt_s)
+        minus2 = ch.strand[:, None] == 1
+        fwd_start2 = jnp.where(minus2, ch.tlen[:, None] - G - t0s, t0s)
+        tb2_raw = _extract_windows(tpacked, tid_row[:, None], fwd_start2,
+                                   G, pad_bases)
+        tb2_rev = jnp.flip(tb2_raw, axis=-1)
+        tb2_rev = jnp.where(tb2_rev < 4, 3 - tb2_rev, tb2_rev)
+        tb2 = jnp.where(minus2[..., None], tb2_rev, tb2_raw)
+        suff = ver_s[..., None] & \
+            (j >= (p_star[..., None] + jnp.maximum(delta, 0))) & \
+            (j < gq_s[..., None]) & (jt >= 0) & (jt < gt_s[..., None])
+        mm2 = suff & (q_all < 4) & (tb2 < 4) & (q_all != tb2)
+        t0_suffix = t0 - delta
+    n_cols = jnp.sum(incol & ~both_acgt, axis=(1, 2)).astype(jnp.int32)
+
+    mmf = jnp.concatenate([mm.reshape(P, -1), mm2.reshape(P, -1)], axis=1)
+    qpos_f = jnp.concatenate([q0.reshape(P, -1), q0.reshape(P, -1)], axis=1)
+    tpos_adj = jnp.concatenate([t0.reshape(P, -1),
+                                t0_suffix.reshape(P, -1)], axis=1)
+    qb_f = jnp.concatenate([qb.reshape(P, -1), q_all.reshape(P, -1)], axis=1)
+    tb_f = jnp.concatenate([tb.reshape(P, -1), tb2.reshape(P, -1)], axis=1)
+    return matches, ver_cols, n_cols, (mmf, qpos_f, tpos_adj, qb_f, tb_f)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "gap_tile", "max_mismatch",
                                               "max_indel_band",
-                                              "max_gap_links"))
+                                              "max_gap_links",
+                                              "gap_tile_small"))
 def extend_chains(ch: Chains, seqs: jax.Array, *, k: int, gap_tile: int,
                   max_mismatch: int, max_indel_band: int = 8,
-                  max_gap_links: int = 64,
+                  max_gap_links: int = 64, gap_tile_small: int = 8,
                   seqs_t: Optional[jax.Array] = None,
                   toff=0) -> Extensions:
     """Verify inter-anchor gaps of every chained pair.
@@ -238,113 +319,62 @@ def extend_chains(ch: Chains, seqs: jax.Array, *, k: int, gap_tile: int,
     # minimizer anchors sit ~(w+1)/2 bp apart, so with k-mer anchors most
     # links have NO gap at all (dq <= k) and a dense [P, A-1, G] gather
     # wastes >4x HBM traffic (measured 411 ms -> the dominant block cost).
-    # Links beyond the budget fall back to the unverified estimate.
-    AG = min(A - 1, max(16, max_gap_links))
-    need = (gap > 0) | ver_u
+    # TWO TIERS: gaps are overwhelmingly 1-5 bp (single error shadows), so
+    # most of the budget goes to a small tile (Gs bases) and only a few
+    # slots carry the full gap_tile -- ~3x less window volume at the same
+    # link coverage. Links beyond the budgets fall back to the estimate.
+    Gs = min(gap_tile_small, G)
+    need_s = (equal & (gap > 0) & (gap <= Gs)) | \
+        (ver_u & (gq <= Gs) & (gt <= Gs))
+    need_l = ((gap > 0) | ver_u) & ~need_s
+    AGs = min(A - 1, max(16, max_gap_links))
+    AGl = min(A - 1, max(8, max_gap_links // 4))
     colL = jax.lax.broadcasted_iota(jnp.int32, (P, A - 1), 1)
-    keyL = jnp.where(need, -colL, jnp.int32(-(1 << 30)))
-    topvL, selL = jax.lax.top_k(keyL, AG)       # earliest needy links first
-    sel_okL = topvL > jnp.int32(-(1 << 30))
 
-    def _take(x, fill):
-        v = jnp.take_along_axis(x, selL, axis=1)
-        return jnp.where(sel_okL, v, jnp.asarray(fill, v.dtype))
+    def _select(need, AG):
+        keyL = jnp.where(need, -colL, jnp.int32(-(1 << 30)))
+        topvL, selL = jax.lax.top_k(keyL, AG)   # earliest needy links first
+        sel_okL = topvL > jnp.int32(-(1 << 30))
 
-    aq_s = _take(ch.aq[:, :-1], 0)
-    at_s = _take(ch.at[:, :-1], 0)
-    gap_s = _take(gap, 0)
-    equal_s = sel_okL & _take(equal, False)
-    gq_s = _take(gq, 0)
-    gt_s = _take(gt, 0)
-    ver_s = sel_okL & _take(ver_u, False)
+        def _take(x, fill):
+            v = jnp.take_along_axis(x, selL, axis=1)
+            return jnp.where(sel_okL, v, jnp.asarray(fill, v.dtype))
+
+        return (_take(ch.aq[:, :-1], 0), _take(ch.at[:, :-1], 0),
+                _take(gap, 0), sel_okL & _take(equal, False),
+                _take(gq, 0), _take(gt, 0), sel_okL & _take(ver_u, False))
+
+    tiers = [(_select(need_s, AGs), Gs), (_select(need_l, AGl), G)]
 
     # budget-overflow accounting: verification that didn't happen becomes
     # unverified columns (identity stays calibrated, never inflated)
     tot_eq = jnp.sum(jnp.where(equal, jnp.minimum(gap, G), 0), axis=1)
-    sel_eq = jnp.sum(jnp.where(equal_s, jnp.minimum(gap_s, G), 0), axis=1)
     tot_uv = jnp.sum(jnp.where(ver_u, jnp.minimum(gq, gt), 0), axis=1)
-    sel_uv = jnp.sum(jnp.where(ver_s, jnp.minimum(gq_s, gt_s), 0), axis=1)
+    sel_eq = sum(jnp.sum(jnp.where(t[3], jnp.minimum(t[2], Gt), 0), axis=1)
+                 for t, Gt in tiers)
+    sel_uv = sum(jnp.sum(jnp.where(t[6], jnp.minimum(t[4], t[5]), 0), axis=1)
+                 for t, _ in tiers)
     unverified = unverified + (tot_eq - sel_eq) + (tot_uv - sel_uv)
 
-    # gather the gap columns: [P, AG, G]. Equal-gap and indel-gap links are
-    # disjoint, so ONE gather per side serves both uses (the per-use masks
-    # are applied after) — this halves the stage's dominant HBM traffic.
-    j = jnp.arange(G, dtype=jnp.int32)[None, None, :]
-    q0 = (aq_s + k)[..., None] + j
-    t0 = (at_s + k)[..., None] + j
-    incol = (j < jnp.minimum(gap_s, G)[..., None]) & equal_s[..., None]
-    if max_indel_band > 0:
-        inq = (j < gq_s[..., None]) & ver_s[..., None]
-        int_ = (j < gt_s[..., None]) & ver_s[..., None]
-    else:
-        inq = int_ = jnp.zeros_like(incol)
     pad_bases = ((G + k) // 8 + 2) * 8
     pad_words = pad_bases // 8
     qpacked = _pack_nibbles(seqs, pad_words)
     tpacked = qpacked if seqs_t is seqs else _pack_nibbles(seqs_t, pad_words)
-    q_raw, t_raw = _gap_windows(qpacked, tpacked, ch.qid, tid_row,
-                                ch.strand, ch.tlen, aq_s, at_s,
-                                k=k, G=G, pad_bases=pad_bases)
-    q_all = jnp.where(incol | inq, q_raw, 4)
-    t_all = jnp.where(incol | int_, t_raw, 4)
-    qb = jnp.where(incol, q_all, 4)
-    tb = jnp.where(incol, t_all, 4)
 
-    both_acgt = (qb < 4) & (tb < 4) & incol
-    eq = both_acgt & (qb == tb)
-    mm = both_acgt & (qb != tb)
-
-    ver_cols = ch.score + jnp.sum(both_acgt, axis=(1, 2)).astype(jnp.int32)
-    matches = ch.score + jnp.sum(eq, axis=(1, 2)).astype(jnp.int32)
-
-    mm2 = jnp.zeros_like(mm)
-    t0_suffix = t0
-    tb2 = tb
-    if max_indel_band > 0:
-        # banded-DP verification of indel gaps: matches from the best
-        # banded alignment of the two gap strings; min(gq, gt) columns
-        # become verified (N columns count as mismatch here), |gq-gt|
-        # stays in the indel term.
-        qgap = jnp.where(inq, q_all, 4)
-        tgap = jnp.where(int_, t_all, 4)
-        m_u = _banded_gap_matches(qgap, tgap, max_indel_band)   # [P, AG]
-        matches = matches + jnp.sum(
-            jnp.where(ver_s, m_u, 0), axis=1).astype(jnp.int32)
-        ver_cols = ver_cols + jnp.sum(
-            jnp.where(ver_s, jnp.minimum(gq_s, gt_s), 0), axis=1
-        ).astype(jnp.int32)
-        # candidate-SNP events INSIDE indel gaps (round-1 gap, CLAUDE.md):
-        # under the single-indel model the first q-vs-t divergence p* is
-        # the indel; suffix columns j >= p* + max(delta,0) align read j to
-        # target j - delta — their mismatches are substitution candidates
-        # with exact coordinates for the cross-strain pileup filter
-        delta = (gq_s - gt_s)[..., None]
-        scan_m = (j < jnp.minimum(gq_s, gt_s)[..., None])
-        both_g = (qgap < 4) & (tgap < 4)
-        difm = (qgap != tgap) & both_g & scan_m
-        has_d = jnp.any(difm, axis=-1)
-        p_star = jnp.where(has_d, jnp.argmax(difm, axis=-1),
-                           jnp.minimum(gq_s, gt_s)).astype(jnp.int32)
-        jt = j - delta                          # target-side column index
-        # suffix target window = the gap window shifted by -delta: another
-        # nibble-word extract (cheap) instead of an elementwise gather
-        t0s = at_s + k - (gq_s - gt_s)
-        minus2 = ch.strand[:, None] == 1
-        fwd_start2 = jnp.where(minus2, ch.tlen[:, None] - G - t0s, t0s)
-        tb2_raw = _extract_windows(tpacked, tid_row[:, None], fwd_start2,
-                                   G, pad_bases)
-        tb2_rev = jnp.flip(tb2_raw, axis=-1)
-        tb2_rev = jnp.where(tb2_rev < 4, 3 - tb2_rev, tb2_rev)
-        tb2 = jnp.where(minus2[..., None], tb2_rev, tb2_raw)
-        suff = ver_s[..., None] & \
-            (j >= (p_star[..., None] + jnp.maximum(delta, 0))) & \
-            (j < gq_s[..., None]) & (jt >= 0) & (jt < gt_s[..., None])
-        mm2 = suff & (q_all < 4) & (tb2 < 4) & (q_all != tb2)
-        t0_suffix = t0 - delta                  # adjusted-frame column
-    # N columns inside equal gaps are neither matched nor mismatched:
-    # fold them into unverified
-    n_cols = jnp.sum(incol & ~both_acgt, axis=(1, 2)).astype(jnp.int32)
-    unverified = unverified + n_cols
+    matches = ch.score
+    ver_cols = ch.score
+    mm_parts = []
+    for (aq_s, at_s, gap_s, equal_s, gq_s, gt_s, ver_s), Gt in tiers:
+        m_add, vc_add, n_cols_t, mm_t = _verify_tier(
+            qpacked, tpacked, ch, tid_row, aq_s, at_s, gap_s, equal_s,
+            gq_s, gt_s, ver_s, k=k, G=Gt, pad_bases=pad_bases,
+            max_indel_band=max_indel_band)
+        matches = matches + m_add
+        ver_cols = ver_cols + vc_add
+        # N columns inside equal gaps are neither matched nor mismatched:
+        # fold them into unverified
+        unverified = unverified + n_cols_t
+        mm_parts.append(mm_t)
 
     m = matches.astype(jnp.float32)
     c = jnp.maximum(ver_cols, 1).astype(jnp.float32)
@@ -354,16 +384,15 @@ def extend_chains(ch: Chains, seqs: jax.Array, *, k: int, gap_tile: int,
     identity = jnp.where(ch.valid, identity, 0.0)
 
     # compact mismatch events to [P, S]; emit forward coordinates.
-    # Equal-gap events and indel-gap suffix events concatenate along the
+    # Both tiers' equal-gap and indel-suffix events concatenate along the
     # flattened column axis (coordinates travel with each event).
-    mmf = jnp.concatenate([mm.reshape(P, -1), mm2.reshape(P, -1)], axis=1)
-    qpos_f = jnp.concatenate([q0.reshape(P, -1), q0.reshape(P, -1)], axis=1)
-    tpos_adj = jnp.concatenate([t0.reshape(P, -1),
-                                t0_suffix.reshape(P, -1)], axis=1)
+    mmf = jnp.concatenate([t[0] for t in mm_parts], axis=1)
+    qpos_f = jnp.concatenate([t[1] for t in mm_parts], axis=1)
+    tpos_adj = jnp.concatenate([t[2] for t in mm_parts], axis=1)
     tpos_fwd = jnp.where(ch.strand[:, None] == 1,
                          ch.tlen[:, None] - 1 - tpos_adj, tpos_adj)
-    qb_f = jnp.concatenate([qb.reshape(P, -1), q_all.reshape(P, -1)], axis=1)
-    tb_f = jnp.concatenate([tb.reshape(P, -1), tb2.reshape(P, -1)], axis=1)
+    qb_f = jnp.concatenate([t[3] for t in mm_parts], axis=1)
+    tb_f = jnp.concatenate([t[4] for t in mm_parts], axis=1)
     # base pair in forward target frame: complement if '-' strand
     tb_fwd = jnp.where((ch.strand[:, None] == 1) & (tb_f < 4), 3 - tb_f, tb_f)
 

@@ -41,8 +41,20 @@ def timeit(name, f, *a):
     print(name, round((time.time()-t0)/iters,4), flush=True); return r
 
 ms = timeit("minimizers", lambda s,l: minimizers(s,l,k=15,w=w,cap=mcap), seqs, lens)
-idx = timeit("build_index", lambda m: sm.build_index(m,0,max_occ=max_occ), ms)
-if "--legacy" in sys.argv:
+if "--mxu" in sys.argv:
+    from hylight_tpu.overlap.seed_mxu import mxu_candidates, shared_count_matrix
+    timeit("mxu_count_matrix", lambda m: shared_count_matrix(
+        m, bucket_bits=15, max_occ=max_occ), ms)
+    cand = timeit("mxu_candidates", lambda m,l: mxu_candidates(
+        m,l.astype(jnp.int32),bandwidth=64,min_anchors=4,max_pairs=max_pairs,
+        anchors_per_pair=256,max_occ=max_occ,k=15,n_reads=n_reads,
+        max_len=read_len), ms, lens)
+    idx = None
+else:
+    idx = timeit("build_index", lambda m: sm.build_index(m,0,max_occ=max_occ), ms)
+if "--mxu" in sys.argv:
+    pass
+elif "--legacy" in sys.argv:
     an = timeit("collect_anchors", lambda m,i: sm.collect_anchors(m,0,i,max_hits=max_occ,dedup_self=True), ms, idx)
     cand = timeit("group_candidates", lambda a,l: sm.group_candidates(
         a,l.astype(jnp.int32),bandwidth=64,min_anchors=4,max_pairs=max_pairs,
