@@ -3,13 +3,16 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Metric: aligned read-pairs per second through the full all-vs-all block
-program (minimizer sketch -> hash-sorted index -> roll self-join -> band
+program (minimizer sketch -> MXU pair finding -> per-pair join -> band
 vote -> chain refine -> gap verify -> admission filters) on synthetic 8 kb
 corrected-long-read data at ~12x coverage with 1% substitution errors — the
 workload of the reference's hot stage (``utils.split_reads2`` driving
-minimap2 ava + filter_overlap_slr2). Three block sizes are measured (fixed
-dispatch costs amortize with block size); the headline value is the largest
-block's pairs/s, with the full table in "detail".
+minimap2 ava + filter_overlap_slr2). Block sizes are measured ascending
+under a wall-clock budget (compiles through the axon tunnel cost minutes;
+the JSON is emitted with whatever completed, and a SIGTERM/SIGINT from the
+driver's timeout still flushes the best completed row). The headline value
+is the best measured block size; production block size is set by
+``ParallelConfig.stream_chunk`` / ``query_block``, not auto-tuned.
 
 vs_baseline: ratio against the reference CPU pipeline's estimated throughput
 on the same data (see BASELINE.md: no published numbers exist; the 30-thread
@@ -20,6 +23,9 @@ minimap2 ava-pb + the Python CIGAR/SNP rescoring loop).
 from __future__ import annotations
 
 import json
+import os
+import signal
+import sys
 import time
 
 import numpy as np
@@ -28,6 +34,53 @@ BASELINE_PAIRS_PER_S = 2000.0  # documented estimate, see BASELINE.md
 READ_LEN = 8192
 SIZES = (64, 256, 1024, 2048)
 ITERS = 5
+BUDGET_S = float(os.environ.get("HYLIGHT_BENCH_BUDGET_S", "1500"))
+
+_T_START = time.perf_counter()
+_ROWS: list[dict] = []
+_EMITTED = False
+
+
+def _emit(status: str = "complete") -> None:
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    if not _ROWS:
+        print(json.dumps({
+            "metric": "aligned read-pairs/s (8kb LR ava block, 1 chip)",
+            "value": 0.0, "unit": "pairs/s", "vs_baseline": 0.0,
+            "detail": {"status": "no block completed", "read_len": READ_LEN},
+        }))
+        sys.stdout.flush()
+        return
+    best = max(_ROWS, key=lambda r: r["pairs_per_s"])
+    pairs_per_s = best["pairs_per_s"]
+    device = "unknown"
+    try:
+        import jax
+        device = str(jax.devices()[0])
+    except Exception:
+        pass
+    print(json.dumps({
+        "metric": "aligned read-pairs/s (8kb LR ava block, 1 chip)",
+        "value": pairs_per_s,
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_s / BASELINE_PAIRS_PER_S, 2),
+        "detail": {
+            "read_len": READ_LEN,
+            "blocks": _ROWS,
+            "status": status,
+            "elapsed_s": round(time.perf_counter() - _T_START, 1),
+            "device": device,
+        },
+    }))
+    sys.stdout.flush()
+
+
+def _on_term(signum, frame):
+    _emit(status=f"interrupted (signal {signum})")
+    os._exit(0)
 
 
 def _make_reads(rng, n_reads):
@@ -95,24 +148,25 @@ def _bench_size(n_reads):
 
 
 def main():
-    import jax
-
-    rows = [_bench_size(n) for n in SIZES]
-    # headline: the best operating block size (the engine picks its own
-    # block size in production; per-size numbers are in detail)
-    best = max(rows, key=lambda r: r["pairs_per_s"])
-    pairs_per_s = best["pairs_per_s"]
-    print(json.dumps({
-        "metric": "aligned read-pairs/s (8kb LR ava block, 1 chip)",
-        "value": pairs_per_s,
-        "unit": "pairs/s",
-        "vs_baseline": round(pairs_per_s / BASELINE_PAIRS_PER_S, 2),
-        "detail": {
-            "read_len": READ_LEN,
-            "blocks": rows,
-            "device": str(jax.devices()[0]),
-        },
-    }))
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+    status = "complete"
+    last_cost = 0.0
+    for n in SIZES:
+        elapsed = time.perf_counter() - _T_START
+        # a larger block costs >= the previous one (compile + ITERS runs);
+        # stop while there is still time to flush the JSON
+        if _ROWS and elapsed + 1.5 * last_cost > BUDGET_S:
+            status = f"budget stop before {n} ({elapsed:.0f}s elapsed)"
+            break
+        t0 = time.perf_counter()
+        try:
+            _ROWS.append(_bench_size(n))
+        except Exception as e:  # one failed size must not kill the number
+            status = f"size {n} failed: {type(e).__name__}: {e}"
+            break
+        last_cost = time.perf_counter() - t0
+    _emit(status=status)
 
 
 if __name__ == "__main__":
