@@ -66,7 +66,14 @@ def config_from_args(a) -> Config:
                               # minimizers per admissible overlap -> MXU
                               # matmul pair finding; raw high-error input
                               # keeps the exact global-sort join
-                              seed_mode="sort" if a.low_q else "mxu"),
+                              seed_mode="sort" if a.low_q else "mxu",
+                              # raw reads: inter-anchor gaps are frequent
+                              # and indel-rich — keep the link budgets wide
+                              # so identity stays measured, not extrapolated
+                              gap_tile_small=16 if a.low_q else 8,
+                              gap_links_eq_small=96 if a.low_q else 64,
+                              gap_links_eq_large=48 if a.low_q else 16,
+                              gap_links_indel=64 if a.low_q else 16),
         # HyLight feeds --max_tip_len to miniasm -d, which IS the
         # bubble-popping distance (main.c:51,90; SURVEY.md §2.2)
         layout=LayoutConfig(max_tip_len=a.max_tip_len,
@@ -100,8 +107,19 @@ def main(argv=None) -> int:
         prof = contextlib.ExitStack()
         prof.enter_context(jax.profiler.trace(a.profile))
         log.info("[CLI] profiling to %s", a.profile)
+    # multi-chip: all-vs-all overlap stages shard over a 1-D device mesh
+    # (ring exchange, parallel/sharded_overlap.py) — the production
+    # replacement for the reference's --nsplit file sharding (utils.py:41-71)
+    mesh = None
+    import jax
+    if len(jax.devices()) > 1:
+        from hylight_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
+        log.info("[CLI] %d devices -> 1-D '%s' mesh (ring overlap exchange)",
+                 len(jax.devices()), mesh.axis_names[0])
     out = hybrid_assemble(lr, sr, cfg, corrected=a.corrected,
-                          checkpoint_dir=os.path.join(a.outdir, "tmp"))
+                          checkpoint_dir=os.path.join(a.outdir, "tmp"),
+                          mesh=mesh)
     if prof is not None:
         prof.close()
     write_outputs(out, a.outdir)

@@ -47,6 +47,13 @@ class OverlapConfig:
     gap_tile: int = 64          # banded-DP tile for inter-anchor gaps
     max_indel_band: int = 8     # banded-DP half-width for indel-gap verify
     #                             (0 disables; larger indels use the estimate)
+    # per-pair link budgets for gap verification (extend.extend_chains
+    # tiers). Corrected-read defaults; cli.py raises them for --low_q raw
+    # reads (w=5), where inter-anchor gaps are frequent and large.
+    gap_tile_small: int = 8     # small-tile width for short equal gaps
+    gap_links_eq_small: int = 64   # equal-gap links verified at the small tile
+    gap_links_eq_large: int = 16   # equal-gap links verified at gap_tile
+    gap_links_indel: int = 16      # indel links verified by the banded DP
     seed_mode: str = "sort"     # "sort": global-sort self-join (exact
     #                             minimap2 anchor multiset; works on raw
     #                             high-error reads). "mxu": matmul pair
@@ -70,6 +77,8 @@ class SnpFilterConfig:
     mc: int = 4                   # min read support AND min contradiction per SNP column
     max_snp_frac: float = 0.0025  # overlap killed above this SNP-per-match fraction
     mc_short: int = 3             # short-read stage value (HyLight.py:200 uses mc=3)
+    mc_polish_long: int = 2       # read->contig mapping filter before LR
+    #                               polish + pick_up (HyLight.py:149 mc=2)
 
 
 @dataclass(frozen=True)

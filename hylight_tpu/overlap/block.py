@@ -14,7 +14,7 @@ from hylight_tpu.config import OverlapConfig
 from hylight_tpu.ops.minimizers import minimizers
 from hylight_tpu.overlap import seed as seed_mod
 from hylight_tpu.overlap.chain import refine_chains
-from hylight_tpu.overlap.extend import extend_chains
+from hylight_tpu.overlap.extend import extend_chains, extend_kwargs
 from hylight_tpu.overlap.filters import admission_filter
 
 
@@ -33,8 +33,11 @@ def make_block_fn(cfg: OverlapConfig, *, mcap: int, max_pairs: int,
         0 < max_len < (1 << 15)
         and 0 < n_reads
         and 2 * n_reads * ((3 * max_len) // 64 + 2) < (1 << 31))
+    # n_reads bound matches engine.py's fast_ava condition: a larger block
+    # would allocate [B, B] f32 C/mu matrices plus a B^2 cumsum in
+    # _first_k_true — fall back to the sort join instead
     use_mxu = (cfg.seed_mode == "mxu" and 0 < max_len < (1 << 15)
-               and 0 < n_reads)
+               and 0 < n_reads <= 4096)
 
     @jax.jit
     def block_fn(seqs: jax.Array, lens: jax.Array):
@@ -50,9 +53,8 @@ def make_block_fn(cfg: OverlapConfig, *, mcap: int, max_pairs: int,
                 margin=cfg.mxu_margin)
             ch = refine_chains(cand, k=cfg.k, min_score=cfg.min_chain_score,
                                max_gap=cfg.max_gap)
-            ext = extend_chains(ch, seqs, k=cfg.k, gap_tile=cfg.gap_tile,
-                                max_mismatch=snp_cap,
-                                max_indel_band=cfg.max_indel_band)
+            ext = extend_chains(ch, seqs, max_mismatch=snp_cap,
+                                **extend_kwargs(cfg))
             sc = admission_filter(ch, ext, min_len=cfg.min_ovlp_len,
                                   min_identity=cfg.min_identity,
                                   max_overhang=cfg.max_overhang,
@@ -83,9 +85,8 @@ def make_block_fn(cfg: OverlapConfig, *, mcap: int, max_pairs: int,
             ext = extend_chains_pallas(ch, make_seqs2(seqs, lens),
                                        k=cfg.k, max_mismatch=snp_cap)
         else:
-            ext = extend_chains(ch, seqs, k=cfg.k, gap_tile=cfg.gap_tile,
-                                max_mismatch=snp_cap,
-                                max_indel_band=cfg.max_indel_band)
+            ext = extend_chains(ch, seqs, max_mismatch=snp_cap,
+                                **extend_kwargs(cfg))
         sc = admission_filter(ch, ext, min_len=cfg.min_ovlp_len,
                               min_identity=cfg.min_identity,
                               max_overhang=cfg.max_overhang,

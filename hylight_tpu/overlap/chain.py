@@ -61,7 +61,7 @@ def refine_chains(c: Candidates, *, k: int, min_score: int,
     # keep anchors whose tpos is a strict running max (first of ties wins)
     big_neg = jnp.int32(-(1 << 30))
     t_for_max = jnp.where(amask, at, big_neg)
-    cm = jax.lax.associative_scan(jnp.maximum, t_for_max, axis=1)
+    cm = jax.lax.cummax(t_for_max, axis=1)
     prev_cm = jnp.concatenate(
         [jnp.full((P, 1), big_neg, jnp.int32), cm[:, :-1]], axis=1)
     kept = amask & (t_for_max > prev_cm)
@@ -72,16 +72,18 @@ def refine_chains(c: Candidates, *, k: int, min_score: int,
         [jnp.full((P, 1), -1, jnp.int32), aq[:, :-1]], axis=1)
     kept = kept & (aq != prev_q)
 
-    # compact kept anchors to the row prefix
-    slot = jnp.cumsum(kept.astype(jnp.int32), axis=1) - 1
-    slot = jnp.where(kept, slot, A)
+    # compact kept anchors to the row prefix via ONE keyed row sort
+    # (row-wise scatters serialize badly on TPU; a [P, A] 3-operand sort
+    # is the fast primitive — see CLAUDE.md micro facts)
+    colA = jax.lax.broadcasted_iota(jnp.int32, (P, A), 1)
     rows = jax.lax.broadcasted_iota(jnp.int32, (P, A), 0)
-    caq = jnp.full((P, A + 1), INT_MAX, jnp.int32).at[rows, slot].set(
-        aq, mode="drop")[:, :A]
-    cat = jnp.full((P, A + 1), INT_MAX, jnp.int32).at[rows, slot].set(
-        at, mode="drop")[:, :A]
+    sortkey = jnp.where(kept, colA, A + colA)   # kept first, original order
+    _, caq, cat = jax.lax.sort((sortkey, aq, at), num_keys=1, dimension=1,
+                               is_stable=False)
     n = jnp.sum(kept, axis=1).astype(jnp.int32)
-    cmask = jax.lax.broadcasted_iota(jnp.int32, (P, A), 1) < n[:, None]
+    cmask = colA < n[:, None]
+    caq = jnp.where(cmask, caq, INT_MAX)
+    cat = jnp.where(cmask, cat, INT_MAX)
 
     # chain score: k for the first anchor + min(dq, dt, k) per link;
     # links longer than max_gap contribute 0 (broken chain segment)

@@ -25,7 +25,7 @@ from hylight_tpu.io.readset import ReadSet
 from hylight_tpu.ops.minimizers import minimizers
 from hylight_tpu.overlap import seed as seed_mod
 from hylight_tpu.overlap.chain import refine_chains
-from hylight_tpu.overlap.extend import extend_chains
+from hylight_tpu.overlap.extend import extend_chains, extend_kwargs
 from hylight_tpu.overlap.filters import admission_filter, cap_per_read
 from hylight_tpu.overlap.table import OverlapTable
 from hylight_tpu.utils import get_logger
@@ -203,9 +203,8 @@ def find_overlaps(reads: ReadSet, targets: Optional[ReadSet] = None, *,
                 n_reads=NA, max_len=Lq, join_occ=join_occ)
         ch = refine_chains(cand, k=cfg.k, min_score=cfg.min_chain_score,
                            max_gap=cfg.max_gap)
-        ext = extend_chains(ch, seqs_d, k=cfg.k, gap_tile=cfg.gap_tile,
-                            max_mismatch=snp_cap,
-                            max_indel_band=cfg.max_indel_band)
+        ext = extend_chains(ch, seqs_d, max_mismatch=snp_cap,
+                            **extend_kwargs(cfg))
         sc = admission_filter(
             ch, ext, min_len=cfg.min_ovlp_len,
             min_identity=cfg.min_identity,
@@ -261,11 +260,9 @@ def find_overlaps(reads: ReadSet, targets: Optional[ReadSet] = None, *,
             ext = extend_chains_pallas(ch, seqs2_d, k=cfg.k,
                                        max_mismatch=snp_cap)
         else:
-            ext = extend_chains(ch, seqs_d, k=cfg.k, gap_tile=cfg.gap_tile,
-                                max_mismatch=snp_cap,
-                                max_indel_band=cfg.max_indel_band,
+            ext = extend_chains(ch, seqs_d, max_mismatch=snp_cap,
                                 seqs_t=None if ava else seqs_t_d,
-                                toff=t_off)
+                                toff=t_off, **extend_kwargs(cfg))
         sc = admission_filter(
             ch, ext, min_len=cfg.min_ovlp_len, min_identity=cfg.min_identity,
             max_overhang=cfg.max_overhang, overhang_ratio=cfg.overhang_ratio)

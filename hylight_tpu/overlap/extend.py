@@ -185,32 +185,25 @@ def _banded_gap_matches(qgap: jax.Array, tgap: jax.Array, dmax: int
     return jnp.maximum(rG[..., dmax], 0)
 
 
-def _verify_tier(qpacked, tpacked, ch, tid_row, aq_s, at_s, gap_s, equal_s,
-                 gq_s, gt_s, ver_s, *, k: int, G: int, pad_bases: int,
-                 max_indel_band: int):
-    """Window-gather + compare + banded DP for ONE tier of selected links.
+def _verify_eq_tier(qpacked, tpacked, ch, tid_row, aq_s, at_s, gap_s, ok_s,
+                    *, k: int, G: int, pad_bases: int):
+    """Window-gather + direct compare for ONE tier of EQUAL-gap links.
 
-    All inputs are [P, AG]-compacted link arrays; returns the tier's
-    (matches_add, ver_cols_add, n_cols, mm event tuple) where the mm tuple
-    concatenates equal-gap events and indel-suffix events along axis 1.
+    Equal gaps (dq == dt) are pure substitution columns: no DP, no suffix
+    machinery — just fetch both windows and compare. Inputs are [P, AG]-
+    compacted link arrays; returns (matches_add, ver_cols_add, n_cols,
+    mm event tuple).
     """
     P = aq_s.shape[0]
     j = jnp.arange(G, dtype=jnp.int32)[None, None, :]
     q0 = (aq_s + k)[..., None] + j
     t0 = (at_s + k)[..., None] + j
-    incol = (j < jnp.minimum(gap_s, G)[..., None]) & equal_s[..., None]
-    if max_indel_band > 0:
-        inq = (j < gq_s[..., None]) & ver_s[..., None]
-        int_ = (j < gt_s[..., None]) & ver_s[..., None]
-    else:
-        inq = int_ = jnp.zeros_like(incol)
+    incol = (j < jnp.minimum(gap_s, G)[..., None]) & ok_s[..., None]
     q_raw, t_raw = _gap_windows(qpacked, tpacked, ch.qid, tid_row,
                                 ch.strand, ch.tlen, aq_s, at_s,
                                 k=k, G=G, pad_bases=pad_bases)
-    q_all = jnp.where(incol | inq, q_raw, 4)
-    t_all = jnp.where(incol | int_, t_raw, 4)
-    qb = jnp.where(incol, q_all, 4)
-    tb = jnp.where(incol, t_all, 4)
+    qb = jnp.where(incol, q_raw, 4)
+    tb = jnp.where(incol, t_raw, 4)
 
     both_acgt = (qb < 4) & (tb < 4) & incol
     eq = both_acgt & (qb == tb)
@@ -218,60 +211,89 @@ def _verify_tier(qpacked, tpacked, ch, tid_row, aq_s, at_s, gap_s, equal_s,
 
     ver_cols = jnp.sum(both_acgt, axis=(1, 2)).astype(jnp.int32)
     matches = jnp.sum(eq, axis=(1, 2)).astype(jnp.int32)
-
-    mm2 = jnp.zeros_like(mm)
-    t0_suffix = t0
-    tb2 = tb
-    if max_indel_band > 0:
-        band = min(max_indel_band, G)
-        qgap = jnp.where(inq, q_all, 4)
-        tgap = jnp.where(int_, t_all, 4)
-        m_u = _banded_gap_matches(qgap, tgap, band)        # [P, AG]
-        matches = matches + jnp.sum(
-            jnp.where(ver_s, m_u, 0), axis=1).astype(jnp.int32)
-        ver_cols = ver_cols + jnp.sum(
-            jnp.where(ver_s, jnp.minimum(gq_s, gt_s), 0), axis=1
-        ).astype(jnp.int32)
-        # single-indel suffix model: see extend_chains docstring
-        delta = (gq_s - gt_s)[..., None]
-        scan_m = (j < jnp.minimum(gq_s, gt_s)[..., None])
-        both_g = (qgap < 4) & (tgap < 4)
-        difm = (qgap != tgap) & both_g & scan_m
-        has_d = jnp.any(difm, axis=-1)
-        p_star = jnp.where(has_d, jnp.argmax(difm, axis=-1),
-                           jnp.minimum(gq_s, gt_s)).astype(jnp.int32)
-        jt = j - delta
-        t0s = at_s + k - (gq_s - gt_s)
-        minus2 = ch.strand[:, None] == 1
-        fwd_start2 = jnp.where(minus2, ch.tlen[:, None] - G - t0s, t0s)
-        tb2_raw = _extract_windows(tpacked, tid_row[:, None], fwd_start2,
-                                   G, pad_bases)
-        tb2_rev = jnp.flip(tb2_raw, axis=-1)
-        tb2_rev = jnp.where(tb2_rev < 4, 3 - tb2_rev, tb2_rev)
-        tb2 = jnp.where(minus2[..., None], tb2_rev, tb2_raw)
-        suff = ver_s[..., None] & \
-            (j >= (p_star[..., None] + jnp.maximum(delta, 0))) & \
-            (j < gq_s[..., None]) & (jt >= 0) & (jt < gt_s[..., None])
-        mm2 = suff & (q_all < 4) & (tb2 < 4) & (q_all != tb2)
-        t0_suffix = t0 - delta
     n_cols = jnp.sum(incol & ~both_acgt, axis=(1, 2)).astype(jnp.int32)
+    return matches, ver_cols, n_cols, (
+        mm.reshape(P, -1), q0.reshape(P, -1), t0.reshape(P, -1),
+        qb.reshape(P, -1), tb.reshape(P, -1))
 
-    mmf = jnp.concatenate([mm.reshape(P, -1), mm2.reshape(P, -1)], axis=1)
-    qpos_f = jnp.concatenate([q0.reshape(P, -1), q0.reshape(P, -1)], axis=1)
-    tpos_adj = jnp.concatenate([t0.reshape(P, -1),
-                                t0_suffix.reshape(P, -1)], axis=1)
-    qb_f = jnp.concatenate([qb.reshape(P, -1), q_all.reshape(P, -1)], axis=1)
-    tb_f = jnp.concatenate([tb.reshape(P, -1), tb2.reshape(P, -1)], axis=1)
-    return matches, ver_cols, n_cols, (mmf, qpos_f, tpos_adj, qb_f, tb_f)
+
+def _verify_indel_tier(qpacked, tpacked, ch, tid_row, aq_s, at_s,
+                       gq_s, gt_s, ver_s, *, k: int, G: int,
+                       pad_bases: int, max_indel_band: int):
+    """Banded LCS DP + single-indel suffix mismatch scan for INDEL links.
+
+    Only links with dq != dt reach this tier, so the DP scan runs over the
+    (small) indel link budget instead of every selected link — equal-gap
+    verification never pays for the scan (round-4 split; previously both
+    tiers ran the DP over their full width).
+    """
+    P = aq_s.shape[0]
+    j = jnp.arange(G, dtype=jnp.int32)[None, None, :]
+    q0 = (aq_s + k)[..., None] + j
+    t0 = (at_s + k)[..., None] + j
+    inq = (j < gq_s[..., None]) & ver_s[..., None]
+    int_ = (j < gt_s[..., None]) & ver_s[..., None]
+    q_raw, t_raw = _gap_windows(qpacked, tpacked, ch.qid, tid_row,
+                                ch.strand, ch.tlen, aq_s, at_s,
+                                k=k, G=G, pad_bases=pad_bases)
+    qgap = jnp.where(inq, q_raw, 4)
+    tgap = jnp.where(int_, t_raw, 4)
+
+    band = min(max_indel_band, G)
+    m_u = _banded_gap_matches(qgap, tgap, band)        # [P, AG]
+    matches = jnp.sum(jnp.where(ver_s, m_u, 0), axis=1).astype(jnp.int32)
+    ver_cols = jnp.sum(
+        jnp.where(ver_s, jnp.minimum(gq_s, gt_s), 0), axis=1
+    ).astype(jnp.int32)
+
+    # single-indel suffix model: see extend_chains docstring
+    delta = (gq_s - gt_s)[..., None]
+    scan_m = (j < jnp.minimum(gq_s, gt_s)[..., None])
+    both_g = (qgap < 4) & (tgap < 4)
+    difm = (qgap != tgap) & both_g & scan_m
+    has_d = jnp.any(difm, axis=-1)
+    p_star = jnp.where(has_d, jnp.argmax(difm, axis=-1),
+                       jnp.minimum(gq_s, gt_s)).astype(jnp.int32)
+    jt = j - delta
+    t0s = at_s + k - (gq_s - gt_s)
+    minus2 = ch.strand[:, None] == 1
+    fwd_start2 = jnp.where(minus2, ch.tlen[:, None] - G - t0s, t0s)
+    tb2_raw = _extract_windows(tpacked, tid_row[:, None], fwd_start2,
+                               G, pad_bases)
+    tb2_rev = jnp.flip(tb2_raw, axis=-1)
+    tb2_rev = jnp.where(tb2_rev < 4, 3 - tb2_rev, tb2_rev)
+    tb2 = jnp.where(minus2[..., None], tb2_rev, tb2_raw)
+    suff = ver_s[..., None] & \
+        (j >= (p_star[..., None] + jnp.maximum(delta, 0))) & \
+        (j < gq_s[..., None]) & (jt >= 0) & (jt < gt_s[..., None])
+    mm2 = suff & (qgap < 4) & (tb2 < 4) & (qgap != tb2)
+    t0_suffix = t0 - delta
+    return matches, ver_cols, jnp.zeros_like(matches), (
+        mm2.reshape(P, -1), q0.reshape(P, -1), t0_suffix.reshape(P, -1),
+        qgap.reshape(P, -1), tb2.reshape(P, -1))
+
+
+def extend_kwargs(cfg) -> dict:
+    """The OverlapConfig-driven static kwargs of extend_chains (tier
+    budgets + tile sizes), for call sites that thread a config through."""
+    return dict(k=cfg.k, gap_tile=cfg.gap_tile,
+                max_indel_band=cfg.max_indel_band,
+                gap_tile_small=cfg.gap_tile_small,
+                links_eq_small=cfg.gap_links_eq_small,
+                links_eq_large=cfg.gap_links_eq_large,
+                links_indel=cfg.gap_links_indel)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "gap_tile", "max_mismatch",
                                               "max_indel_band",
-                                              "max_gap_links",
-                                              "gap_tile_small"))
+                                              "gap_tile_small",
+                                              "links_eq_small",
+                                              "links_eq_large",
+                                              "links_indel"))
 def extend_chains(ch: Chains, seqs: jax.Array, *, k: int, gap_tile: int,
                   max_mismatch: int, max_indel_band: int = 8,
-                  max_gap_links: int = 64, gap_tile_small: int = 8,
+                  gap_tile_small: int = 8, links_eq_small: int = 64,
+                  links_eq_large: int = 16, links_indel: int = 16,
                   seqs_t: Optional[jax.Array] = None,
                   toff=0) -> Extensions:
     """Verify inter-anchor gaps of every chained pair.
@@ -319,16 +341,20 @@ def extend_chains(ch: Chains, seqs: jax.Array, *, k: int, gap_tile: int,
     # minimizer anchors sit ~(w+1)/2 bp apart, so with k-mer anchors most
     # links have NO gap at all (dq <= k) and a dense [P, A-1, G] gather
     # wastes >4x HBM traffic (measured 411 ms -> the dominant block cost).
-    # TWO TIERS: gaps are overwhelmingly 1-5 bp (single error shadows), so
-    # most of the budget goes to a small tile (Gs bases) and only a few
-    # slots carry the full gap_tile -- ~3x less window volume at the same
-    # link coverage. Links beyond the budgets fall back to the estimate.
+    # THREE TIERS (round 4; budgets are config-driven via OverlapConfig):
+    # equal gaps are overwhelmingly 1-5 bp (single error shadows), so most
+    # of the equal budget goes to a small tile (Gs bases) and a few slots
+    # carry the full gap_tile; indel links get their OWN tier so the
+    # banded-DP scan only ever runs over links_indel slots — equal-gap
+    # verification never pays for the scan. Links beyond the budgets fall
+    # back to the estimate (counted as unverified below).
     Gs = min(gap_tile_small, G)
-    need_s = (equal & (gap > 0) & (gap <= Gs)) | \
-        (ver_u & (gq <= Gs) & (gt <= Gs))
-    need_l = ((gap > 0) | ver_u) & ~need_s
-    AGs = min(A - 1, max(16, max_gap_links))
-    AGl = min(A - 1, max(8, max_gap_links // 4))
+    need_es = equal & (gap > 0) & (gap <= Gs)
+    need_el = equal & (gap > Gs)
+    need_i = ver_u
+    AGes = min(A - 1, max(8, links_eq_small))
+    AGel = min(A - 1, max(4, links_eq_large))
+    AGi = min(A - 1, max(4, links_indel))
     colL = jax.lax.broadcasted_iota(jnp.int32, (P, A - 1), 1)
 
     def _select(need, AG):
@@ -341,19 +367,22 @@ def extend_chains(ch: Chains, seqs: jax.Array, *, k: int, gap_tile: int,
             return jnp.where(sel_okL, v, jnp.asarray(fill, v.dtype))
 
         return (_take(ch.aq[:, :-1], 0), _take(ch.at[:, :-1], 0),
-                _take(gap, 0), sel_okL & _take(equal, False),
-                _take(gq, 0), _take(gt, 0), sel_okL & _take(ver_u, False))
+                _take(gap, 0), _take(gq, 0), _take(gt, 0), sel_okL)
 
-    tiers = [(_select(need_s, AGs), Gs), (_select(need_l, AGl), G)]
+    sel_es = _select(need_es, AGes)
+    sel_el = _select(need_el, AGel)
+    sel_i = _select(need_i, AGi) if max_indel_band > 0 else None
 
     # budget-overflow accounting: verification that didn't happen becomes
     # unverified columns (identity stays calibrated, never inflated)
     tot_eq = jnp.sum(jnp.where(equal, jnp.minimum(gap, G), 0), axis=1)
     tot_uv = jnp.sum(jnp.where(ver_u, jnp.minimum(gq, gt), 0), axis=1)
-    sel_eq = sum(jnp.sum(jnp.where(t[3], jnp.minimum(t[2], Gt), 0), axis=1)
-                 for t, Gt in tiers)
-    sel_uv = sum(jnp.sum(jnp.where(t[6], jnp.minimum(t[4], t[5]), 0), axis=1)
-                 for t, _ in tiers)
+    sel_eq = (jnp.sum(jnp.where(sel_es[5], jnp.minimum(sel_es[2], Gs), 0),
+                      axis=1)
+              + jnp.sum(jnp.where(sel_el[5], jnp.minimum(sel_el[2], G), 0),
+                        axis=1))
+    sel_uv = jnp.sum(jnp.where(sel_i[5], jnp.minimum(sel_i[3], sel_i[4]), 0),
+                     axis=1) if sel_i is not None else jnp.int32(0)
     unverified = unverified + (tot_eq - sel_eq) + (tot_uv - sel_uv)
 
     pad_bases = ((G + k) // 8 + 2) * 8
@@ -364,16 +393,24 @@ def extend_chains(ch: Chains, seqs: jax.Array, *, k: int, gap_tile: int,
     matches = ch.score
     ver_cols = ch.score
     mm_parts = []
-    for (aq_s, at_s, gap_s, equal_s, gq_s, gt_s, ver_s), Gt in tiers:
-        m_add, vc_add, n_cols_t, mm_t = _verify_tier(
-            qpacked, tpacked, ch, tid_row, aq_s, at_s, gap_s, equal_s,
-            gq_s, gt_s, ver_s, k=k, G=Gt, pad_bases=pad_bases,
-            max_indel_band=max_indel_band)
+    for (aq_s, at_s, gap_s, gq_s, gt_s, ok_s), Gt in (
+            (sel_es, Gs), (sel_el, G)):
+        m_add, vc_add, n_cols_t, mm_t = _verify_eq_tier(
+            qpacked, tpacked, ch, tid_row, aq_s, at_s, gap_s, ok_s,
+            k=k, G=Gt, pad_bases=pad_bases)
         matches = matches + m_add
         ver_cols = ver_cols + vc_add
         # N columns inside equal gaps are neither matched nor mismatched:
         # fold them into unverified
         unverified = unverified + n_cols_t
+        mm_parts.append(mm_t)
+    if sel_i is not None:
+        aq_s, at_s, _, gq_s, gt_s, ok_s = sel_i
+        m_add, vc_add, _, mm_t = _verify_indel_tier(
+            qpacked, tpacked, ch, tid_row, aq_s, at_s, gq_s, gt_s, ok_s,
+            k=k, G=G, pad_bases=pad_bases, max_indel_band=max_indel_band)
+        matches = matches + m_add
+        ver_cols = ver_cols + vc_add
         mm_parts.append(mm_t)
 
     m = matches.astype(jnp.float32)

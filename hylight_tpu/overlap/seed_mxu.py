@@ -144,6 +144,10 @@ def shared_count_matrix(ms: MinimizerSet, *, bucket_bits: int,
     # every normal bucket at any block size and still kills heavy repeats.
     lam = jnp.sum(colsum) / np.float32(nbuck)
     A = A * (colsum <= 2.0 * lam + max_occ).astype(jnp.float32)[None, :]
+    # bf16 holds integers exactly only up to 256: clamp per-entry loads so
+    # C never accumulates rounding error at high-lam configurations (a
+    # bucket with >256 of ONE read's minimizers is a repeat family anyway)
+    A = jnp.minimum(A, 256.0)
     nv = jnp.sum(A, axis=1)                        # masked count per read
     Ab = A.astype(jnp.bfloat16)
     C = jax.lax.dot_general(Ab, Ab, (((1,), (1,)), ((), ())),
@@ -178,6 +182,10 @@ def mxu_candidates(ms: MinimizerSet, lens: jax.Array, *,
     ii = jnp.arange(B, dtype=jnp.int32)
     upper = ii[:, None] < ii[None, :]
     good = upper & ((C - mu) >= thr)
+    # NOTE on overflow bias: when n_pairs > max_pairs the first max_pairs
+    # entries in flat row-major order are kept, so HIGH-qid reads lose all
+    # their candidates (the sort path drops by window score instead). The
+    # engine warns on overflow; size max_pairs to the expected pair count.
     pidx, pok, n_pairs = _first_k_true(good.reshape(-1), P)
     pq = jnp.where(pok, pidx // B, 0)
     pt = jnp.where(pok, pidx % B, 0)
@@ -244,17 +252,36 @@ def mxu_candidates(ms: MinimizerSet, lens: jax.Array, *,
     n_anchors = jnp.sum(on_band, axis=1).astype(jnp.int32)
 
     # ---- stage 4: qpos-sort + strided subsample to [P, A]
-    # (qpos, tpos) packed into one int32 -> a 1-operand sort and ONE
-    # subsample gather (take_along_axis at [P, 2Lp] is ~56 ms; halved)
+    # (qpos, tpos) packed into one int32 -> a 1-operand sort. The sort
+    # puts a row's on-band anchors at the front (invalid = INT_MAX), so
+    # subsampling reduces to STATIC power-of-two stride slices selected
+    # per row (a [P, 2Lp] take_along_axis gather costs ~56 ms at bench
+    # scale; the static slices + select cost ~5 ms). A row with c_full
+    # anchors uses the smallest stride s with c_full <= s*A, keeping
+    # ceil(c_full/s) >= A/2 evenly spaced anchors spanning the overlap.
     packed = jnp.where(on_band, (qpos << 15) | tpos, INT_MAX)
     (packed,) = jax.lax.sort((packed,), num_keys=1, dimension=1,
                              is_stable=False)
     c_full = n_anchors
-    c_len = jnp.minimum(c_full, A)
+    width = packed.shape[1]
+    strides = [1]
+    while strides[-1] * A < width:
+        strides.append(strides[-1] * 2)
+    sel = None
+    s_row = None
+    for s in reversed(strides):
+        v = packed[:, ::s][:, :A]
+        if v.shape[1] < A:
+            v = jnp.pad(v, ((0, 0), (0, A - v.shape[1])),
+                        constant_values=INT_MAX)
+        if sel is None:
+            sel, s_row = v, jnp.full_like(c_full, s)
+        else:
+            use = c_full <= s * A
+            sel = jnp.where(use[:, None], v, sel)
+            s_row = jnp.where(use, s, s_row)
+    c_len = jnp.minimum((c_full + s_row - 1) // s_row, A)
     ar = jnp.arange(A, dtype=jnp.int32)[None, :]
-    gi = jnp.minimum((ar * c_full[:, None]) // jnp.maximum(c_len[:, None], 1),
-                     packed.shape[1] - 1)
-    sel = jnp.take_along_axis(packed, gi, axis=1)
     aq = jnp.where(sel == INT_MAX, INT_MAX, sel >> 15)
     at = jnp.where(sel == INT_MAX, INT_MAX, sel & ((1 << 15) - 1))
 

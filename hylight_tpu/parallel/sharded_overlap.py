@@ -38,7 +38,7 @@ from hylight_tpu.config import OverlapConfig
 from hylight_tpu.ops.minimizers import MinimizerSet, minimizers
 from hylight_tpu.overlap import seed as seed_mod
 from hylight_tpu.overlap.chain import refine_chains
-from hylight_tpu.overlap.extend import extend_chains
+from hylight_tpu.overlap.extend import extend_chains, extend_kwargs
 from hylight_tpu.overlap.filters import admission_filter
 from hylight_tpu.parallel.mesh import SHARD_AXIS
 
@@ -80,9 +80,8 @@ def make_sharded_overlap_fn(mesh, cfg: OverlapConfig, *, mcap: int,
             row_size=mcap * cfg.max_occ, k=cfg.k)
         ch = refine_chains(cand, k=cfg.k, min_score=cfg.min_chain_score,
                            max_gap=cfg.max_gap)
-        ext = extend_chains(ch, seqs_g, k=cfg.k, gap_tile=cfg.gap_tile,
-                            max_mismatch=snp_cap,
-                            max_indel_band=cfg.max_indel_band)
+        ext = extend_chains(ch, seqs_g, max_mismatch=snp_cap,
+                            **extend_kwargs(cfg))
         sc = admission_filter(ch, ext, min_len=cfg.min_ovlp_len,
                               min_identity=cfg.min_identity,
                               max_overhang=cfg.max_overhang,
@@ -111,7 +110,7 @@ def make_sharded_overlap_fn(mesh, cfg: OverlapConfig, *, mcap: int,
 
 def make_ring_overlap_fn(mesh, cfg: OverlapConfig, *, mcap: int,
                          max_pairs: int, snp_cap: int = 64,
-                         axis: str = SHARD_AXIS):
+                         axis: str = SHARD_AXIS, exchange: bool = True):
     """Ring-pipelined all-vs-all overlap (v2 exchange, SURVEY.md §2.5).
 
     fn(seqs [N, L] row-sharded, lens [N] row-sharded) -> (out dict, n_valid)
@@ -159,9 +158,8 @@ def make_ring_overlap_fn(mesh, cfg: OverlapConfig, *, mcap: int,
             qrow = jnp.clip(ch.qid - qbase, 0, n_loc - 1)
             trow = jnp.clip(ch.tid - vbase, 0, n_loc - 1) + n_loc
             ext = extend_chains(ch._replace(qid=qrow, tid=trow), seqs_cat,
-                                k=cfg.k, gap_tile=cfg.gap_tile,
                                 max_mismatch=snp_cap,
-                                max_indel_band=cfg.max_indel_band)
+                                **extend_kwargs(cfg))
             sc = admission_filter(ch, ext, min_len=cfg.min_ovlp_len,
                                   min_identity=cfg.min_identity,
                                   max_overhang=cfg.max_overhang,
@@ -174,9 +172,12 @@ def make_ring_overlap_fn(mesh, cfg: OverlapConfig, *, mcap: int,
                          score2=sc.score2, score3=sc.score3, valid=sc.valid,
                          mm_q=ext.mm_q, mm_t=ext.mm_t, mm_qb=ext.mm_qb,
                          mm_tb=ext.mm_tb, mm_mask=ext.mm_mask)
+            # exchange=False builds the timing baseline: identical per-step
+            # compute against the LOCAL shard, no ICI traffic (results are
+            # meaningless; see measure_ring_efficiency)
             nxt = tuple(
                 jax.lax.ppermute(x, axis_name=axis, perm=perm)
-                for x in carry)
+                for x in carry) if exchange else carry
             return nxt, out_s
 
         carry0 = (seqs_l, lens_l, ms_l.hash, ms_l.pos, ms_l.strand,
@@ -322,9 +323,8 @@ def make_bucket_overlap_fn(mesh, cfg: OverlapConfig, *, mcap: int,
                            max_gap=cfg.max_gap)
         seqs_g = jax.lax.all_gather(seqs_l, axis_name=axis, axis=0,
                                     tiled=True)
-        ext = extend_chains(ch, seqs_g, k=cfg.k, gap_tile=cfg.gap_tile,
-                            max_mismatch=snp_cap,
-                            max_indel_band=cfg.max_indel_band)
+        ext = extend_chains(ch, seqs_g, max_mismatch=snp_cap,
+                            **extend_kwargs(cfg))
         sc = admission_filter(ch, ext, min_len=cfg.min_ovlp_len,
                               min_identity=cfg.min_identity,
                               max_overhang=cfg.max_overhang,
@@ -350,3 +350,55 @@ def make_bucket_overlap_fn(mesh, cfg: OverlapConfig, *, mcap: int,
     fn = shard_map(step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
                    check_vma=False)
     return jax.jit(fn)
+
+
+def measure_ring_efficiency(mesh, cfg: OverlapConfig, *, n_reads: int,
+                            read_len: int, iters: int = 3, seed: int = 7,
+                            snp_cap: int = 16, axis: str = SHARD_AXIS):
+    """Scaling instrumentation for the ring exchange (SURVEY §2.5's
+    ">=80% efficiency at 2 hosts" target).
+
+    Times the FULL ring program against a compute-only variant (identical
+    per-step compute joined against the local shard, ``exchange=False`` —
+    no ppermute traffic) on synthetic coverage-realistic reads, and
+    returns ``{"full_s", "compute_s", "exchange_s", "efficiency"}`` where
+    efficiency = compute/full is the fraction of wall-clock spent on
+    overlap compute rather than moving shards. Works on any mesh (virtual
+    CPU devices for CI, real ICI/DCN meshes in production); the dryrun
+    entry records it so a 2-host estimate exists the day hardware does.
+    """
+    import time as _time
+    import numpy as np
+    from hylight_tpu.parallel.mesh import shard_rows
+
+    nd = mesh.shape[axis]
+    N = -(-n_reads // nd) * nd
+    rng = np.random.default_rng(seed)
+    glen = max(N * read_len // 12, read_len + 1)
+    g = rng.integers(0, 4, size=glen).astype(np.uint8)
+    starts = rng.integers(0, glen - read_len, size=N)
+    seqs = np.stack([g[s:s + read_len] for s in starts]).astype(np.uint8)
+    lens = np.full(N, read_len, dtype=np.int32)
+
+    mcap = -(-(int(2 * read_len / (cfg.w + 1)) + 64) // 64) * 64
+    P = -(-(N // nd) * 16 // 256) * 256
+    seqs_d = jax.device_put(jnp.asarray(seqs), shard_rows(mesh))
+    lens_d = jax.device_put(jnp.asarray(lens), shard_rows(mesh))
+
+    out = {}
+    for name, exch in (("full", True), ("compute", False)):
+        fn = make_ring_overlap_fn(mesh, cfg, mcap=mcap, max_pairs=P,
+                                  snp_cap=snp_cap, exchange=exch)
+        _, nv = fn(seqs_d, lens_d)
+        int(np.asarray(nv))                       # sync warmup/compile
+        t0 = _time.perf_counter()
+        vals = []
+        for _ in range(iters):
+            _, nv = fn(seqs_d, lens_d)
+            vals.append(nv)
+        for v in vals:
+            int(np.asarray(v))                    # one sync at the end
+        out[name + "_s"] = (_time.perf_counter() - t0) / iters
+    out["exchange_s"] = max(0.0, out["full_s"] - out["compute_s"])
+    out["efficiency"] = out["compute_s"] / max(out["full_s"], 1e-9)
+    return out

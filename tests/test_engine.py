@@ -149,3 +149,30 @@ def test_ultralong_reads_legacy_path(rng):
     i = p[(0, 1)]
     assert int(t.qe[i]) - int(t.qs[i]) > 15_000
     assert t.identity[i] > 0.95
+
+
+def test_high_error_identity_calibrated(rng):
+    """Raw high-error (low_q-style) reads: the identity ESTIMATE must track
+    the true pairwise error rate even when most inter-anchor gaps exceed
+    the small tile (round-3 advisor finding: shrinking the large-tile link
+    budget made identity mostly extrapolated on the w=5 sort path; the
+    budgets are now config-driven and cli.py widens them for --low_q)."""
+    glen = 20000
+    g = rng.integers(0, 4, size=glen).astype(np.uint8)
+    reads = []
+    for s in range(0, glen - 4000, 1000):
+        r = g[s:s + 4000].copy()
+        e = rng.random(4000) < 0.04          # 4% subs per read
+        r[e] = (r[e] + rng.integers(1, 4, e.sum())) % 4
+        reads.append(r)
+    rs = ReadSet.from_seqs(reads)
+    cfg = OverlapConfig(k=13, w=5, min_ovlp_len=1000, min_identity=0.8,
+                        min_anchors=4, min_chain_score=50, max_occ=16,
+                        anchors_per_pair=256, gap_tile=64,
+                        gap_tile_small=16, gap_links_eq_small=96,
+                        gap_links_eq_large=48, gap_links_indel=64)
+    t = find_overlaps(rs, cfg=cfg)
+    assert t.n >= 10
+    # true pairwise identity ~ (1-0.04)^2 + small back-mutation ~ 0.923
+    ids = np.asarray(t.identity)
+    assert abs(float(np.median(ids)) - 0.923) < 0.025, float(np.median(ids))

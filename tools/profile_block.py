@@ -69,7 +69,7 @@ ext = timeit("extend_chains", lambda c,s: extend_chains(c,s,k=15,gap_tile=32,max
 if "--extend-variants" in sys.argv:
     timeit("extend_noindel", lambda c,s: extend_chains(c,s,k=15,gap_tile=32,max_mismatch=64,max_indel_band=0), ch, seqs)
     timeit("extend_mm8", lambda c,s: extend_chains(c,s,k=15,gap_tile=32,max_mismatch=8), ch, seqs)
-    timeit("extend_links16", lambda c,s: extend_chains(c,s,k=15,gap_tile=32,max_mismatch=64,max_gap_links=16), ch, seqs)
+    timeit("extend_links16", lambda c,s: extend_chains(c,s,k=15,gap_tile=32,max_mismatch=64,links_eq_small=16,links_eq_large=8,links_indel=8), ch, seqs)
     timeit("extend_band4", lambda c,s: extend_chains(c,s,k=15,gap_tile=32,max_mismatch=64,max_indel_band=4), ch, seqs)
 sc = timeit("admission", lambda c,e: admission_filter(c,e,min_len=2000,min_identity=0.9,max_overhang=1000,overhang_ratio=0.8), ch, ext)
 print("admitted", int(jnp.sum(sc.valid)), "chained", int(jnp.sum(ch.valid)),
