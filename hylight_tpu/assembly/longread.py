@@ -87,11 +87,27 @@ def _used_reads(reads: ReadSet, contigs: ReadSet, cfg: Config,
     """
     if contigs.n == 0 or reads.n == 0:
         return np.zeros(reads.n, dtype=bool)
+    # Deliberate deviation from the reference: pick_up maps with RELAXED
+    # thresholds (identity - 0.05, min_ovlp_len / 4, floor 500) where the
+    # reference reuses the polish mapping's full thresholds — a read that
+    # *nearly* maps to an existing contig would otherwise be re-assembled
+    # into a duplicate contig fragment. The SNP filter below still applies
+    # at the reference's mc so cross-strain hits never mark a read used.
     oc = replace(cfg.overlap, min_ovlp_len=max(500, cfg.overlap.min_ovlp_len
                                                // 4),
                  min_identity=max(0.0, cfg.overlap.min_identity - 0.05))
     t = find_overlaps(reads, contigs, cfg=oc, query_block=query_block,
                       cap_overlaps=False)
+    if t.n:
+        # the reference's pick_up reads the mc=2-FILTERED ov_long_ref.paf
+        # (HyLight.py:149,158-184): a cross-strain hit must not suppress
+        # re-assembly of the read on its own strain
+        from hylight_tpu.overlap.snp import snp_filter_mapped
+        keep = snp_filter_mapped(t, n_query_ids=reads.n,
+                                 mc=cfg.snp.mc_polish_long,
+                                 max_frac=cfg.snp.max_snp_frac,
+                                 long_reads=True)
+        t = t.select(keep)
     used = np.zeros(reads.n, dtype=bool)
     used[t.qid] = True
     return used
@@ -122,7 +138,10 @@ def assemble_long_reads(lr: ReadSet, cfg: Config,
             contigs = polish_contigs(contigs, remaining, cfg=cfg.overlap,
                                      rounds=cfg.consensus.rounds_long,
                                      query_block=query_block,
-                                     min_depth=cfg.consensus.min_depth)
+                                     min_depth=cfg.consensus.min_depth,
+                                     snp_mc=cfg.snp.mc_polish_long,
+                                     snp_long=True,
+                                     snp_max_frac=cfg.snp.max_snp_frac)
         contig_parts.append(contigs)
         if rnd == pickup_rounds:
             break
@@ -145,7 +164,14 @@ def assemble_long_reads(lr: ReadSet, cfg: Config,
 
     if sr is not None and sr.n > 0 and contigs.n > 0:
         with stage("lr_sr_polish"):
+            # reference SR round: shortr1.paf filtered with len_over=70,
+            # mc=3, SR mode (drops a cross-strain pair outright) before
+            # racon (HyLight.py:200-203)
             contigs = polish_contigs(contigs, sr, cfg=cfg.overlap_sr,
                                      rounds=1, query_block=256,
-                                     min_depth=cfg.consensus.min_depth)
+                                     min_depth=cfg.consensus.min_depth,
+                                     min_len=70,
+                                     snp_mc=cfg.snp.mc_short,
+                                     snp_long=False,
+                                     snp_max_frac=cfg.snp.max_snp_frac)
     return contigs

@@ -138,13 +138,24 @@ def hybrid_assemble(lr: ReadSet, sr: Optional[ReadSet], cfg: Config, *,
 
 def _leftover_short_reads(sr: ReadSet, contigs: ReadSet,
                           cfg: Config) -> ReadSet:
-    """pick_up for short reads (HyLight.py:205-207)."""
+    """pick_up for short reads (HyLight.py:205-207): a short read is used
+    only if it has a SAME-strain mapping to a long contig — the mapping is
+    filtered like the reference's shortr1.paf (len_over=70 per
+    HyLight.py:200, mc=3 SR mode killing cross-strain pairs outright,
+    filter_overlap_slr2.py:99-100) so wrong-strain hits don't suppress a
+    read's re-assembly in the cluster stage."""
     if contigs.n == 0:
         return sr
     oc = replace(cfg.overlap_sr, min_ovlp_len=70)
     with stage("sr_pickup_map"):
         t = find_overlaps(sr, contigs, cfg=oc, query_block=256,
                           cap_overlaps=False)
+    if t.n:
+        from hylight_tpu.overlap.snp import snp_filter_mapped
+        keep = snp_filter_mapped(t, n_query_ids=sr.n, mc=cfg.snp.mc_short,
+                                 max_frac=cfg.snp.max_snp_frac,
+                                 long_reads=False)
+        t = t.select(keep)
     used = np.zeros(sr.n, dtype=bool)
     used[t.qid] = True
     return sr.subset(np.nonzero(~used)[0])

@@ -254,18 +254,30 @@ def polish_contigs(contigs: ReadSet, reads: ReadSet, *, cfg: OverlapConfig,
                    rounds: int = 1, query_block: int = 64,
                    min_identity: float = 0.75, min_len: int = 100,
                    pairs_per_block: Optional[int] = None,
-                   min_depth: int = 1, fix_indels: bool = True) -> ReadSet:
+                   min_depth: int = 1, fix_indels: bool = True,
+                   snp_mc: Optional[int] = None, snp_long: bool = True,
+                   snp_max_frac: float = 0.0025) -> ReadSet:
     """Polish draft contigs with reads (racon-equivalent, round-iterated).
 
     Indel repair converges one base per gap per round — callers polishing
     indel-rich drafts should iterate (the pipeline's LR x2 + SR rounds
-    mirror ``HyLight.py:149-203``)."""
+    mirror ``HyLight.py:149-203``).
+
+    snp_mc: when set, each round first maps reads->contigs through the
+    full overlap engine, runs the cross-strain SNP filter on the mapping
+    (``snp_filter_mapped``; mc=2 for LR rounds per HyLight.py:149, mc=3
+    with snp_long=False for the SR round per :200) and BLOCKS the killed
+    (read, contig) pairs from voting — wrong-strain reads never polish a
+    contig (the strain separation the reference gets by feeding racon the
+    filtered PAF)."""
     for _ in range(max(rounds, 0)):
         contigs = _polish_round(contigs, reads, cfg=cfg,
                                 query_block=query_block,
                                 min_identity=min_identity, min_len=min_len,
                                 pairs_per_block=pairs_per_block,
-                                min_depth=min_depth, fix_indels=fix_indels)
+                                min_depth=min_depth, fix_indels=fix_indels,
+                                snp_mc=snp_mc, snp_long=snp_long,
+                                snp_max_frac=snp_max_frac)
     return contigs
 
 
@@ -276,10 +288,37 @@ def _round_up(x: int, m: int) -> int:
 def _polish_round(contigs: ReadSet, reads: ReadSet, *, cfg: OverlapConfig,
                   query_block: int, min_identity: float, min_len: int,
                   pairs_per_block: Optional[int], min_depth: int = 1,
-                  fix_indels: bool = True) -> ReadSet:
+                  fix_indels: bool = True, snp_mc: Optional[int] = None,
+                  snp_long: bool = True,
+                  snp_max_frac: float = 0.0025) -> ReadSet:
     if contigs.n == 0 or reads.n == 0:
         return contigs
     from hylight_tpu.overlap.engine import bucket_len
+
+    # strain-aware gate: map reads->contigs with mismatch events, run the
+    # cross-strain SNP filter, and remember the killed (read, contig)
+    # pairs — their votes are suppressed in the block loop below
+    killed_keys: Optional[np.ndarray] = None
+    n_contigs_key = contigs.n
+    if snp_mc is not None:
+        from dataclasses import replace as _dc_replace
+        from hylight_tpu.overlap.engine import find_overlaps
+        from hylight_tpu.overlap.snp import snp_filter_mapped
+        oc_map = _dc_replace(cfg, min_ovlp_len=min_len,
+                             min_identity=min_identity)
+        t_map = find_overlaps(reads, contigs, cfg=oc_map,
+                              query_block=query_block, cap_overlaps=False)
+        if t_map.n:
+            keep = snp_filter_mapped(t_map, n_query_ids=reads.n, mc=snp_mc,
+                                     max_frac=snp_max_frac,
+                                     long_reads=snp_long)
+            if not keep.all():
+                killed_keys = np.unique(
+                    t_map.qid[~keep].astype(np.int64) * n_contigs_key
+                    + t_map.tid[~keep])
+                log.info("[C::polish] snp filter kills %d/%d read->contig "
+                         "mappings (mc=%d)", int((~keep).sum()), t_map.n,
+                         snp_mc)
     nq, nt = reads.n, contigs.n
     # reads and contigs get SEPARATE padded matrices (150 bp polishing
     # reads must not inflate to the contig length bucket); the vote kernel
@@ -344,6 +383,15 @@ def _polish_round(contigs: ReadSet, reads: ReadSet, *, cfg: OverlapConfig,
                            max_gap=cfg.max_gap)
         maplen = jnp.maximum(ch.qe - ch.qs, ch.te - ch.ts)
         valid = ch.valid & (maplen >= min_len)
+        if killed_keys is not None and killed_keys.size:
+            # suppress cross-strain votes: small [P] host fetch per block
+            key = (np.asarray(ch.qid).astype(np.int64) * n_contigs_key
+                   + (np.asarray(ch.tid) - t_off_row))
+            bad = np.zeros(len(key), dtype=bool)
+            pos = np.searchsorted(killed_keys, key)
+            inr = pos < len(killed_keys)
+            bad[inr] = killed_keys[pos[inr]] == key[inr]
+            valid = valid & jnp.asarray(~bad)
         votes, cov_diff, ins_votes, del_votes = _vote_kernel(
             ch, seqs, tseqs_d, votes, cov_diff, ins_votes, del_votes,
             t_offsets_d, t_off_row, valid, k=cfg.k, gap_tile=cfg.gap_tile)

@@ -22,6 +22,8 @@ the extend stage, which can only *under*-kill (conservative).
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 
 from hylight_tpu.overlap.table import OverlapTable
@@ -76,3 +78,22 @@ def snp_filter(table: OverlapTable, *, mc: int, max_frac: float,
         frac = weight / np.maximum(table.matches, 1)
         return frac <= max_frac
     return weight == 0
+
+
+def snp_filter_mapped(table: OverlapTable, *, n_query_ids: int, mc: int,
+                      max_frac: float, long_reads: bool = True
+                      ) -> np.ndarray:
+    """snp_filter for SET-VS-SET tables (read -> contig mappings).
+
+    qid and tid index DIFFERENT id spaces there; shifting target ids past
+    the query space keeps the two pileups from colliding. This is the
+    filter the reference applies to every read->contig PAF before racon
+    and before pick_up (``HyLight.py:149`` ov_long_ref.paf with mc=2,
+    ``:200`` shortr1.paf with mc=3 killing cross-strain pairs outright).
+    """
+    if table.n == 0:
+        return np.zeros(0, dtype=bool)
+    shifted = dataclasses.replace(
+        table, tid=table.tid.astype(np.int64) + int(n_query_ids))
+    return snp_filter(shifted, mc=mc, max_frac=max_frac,
+                      long_reads=long_reads)

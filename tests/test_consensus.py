@@ -103,3 +103,41 @@ def test_polish_fixes_draft_indels():
     ratio0 = difflib.SequenceMatcher(a=ref, b=decode_seq(draft),
                                      autojunk=False).ratio()
     assert ratio0 < 0.995
+
+
+def test_polish_strain_aware_snp_gate(rng):
+    """Strain-aware polish (HyLight.py:149,200 + filter_overlap_slr2.py:
+    99-100): deep wrong-strain short reads must NOT homogenize a strain-A
+    draft contig. Unfiltered voting corrupts the SNP columns toward
+    strain B; the snp_mc gate preserves strain A exactly."""
+    glen = 3000
+    gA = rng.integers(0, 4, size=glen).astype(np.uint8)
+    gB = gA.copy()
+    snp_pos = np.arange(40, glen - 40, 60)         # ~50 SNP columns
+    gB[snp_pos] = (gB[snp_pos] + 1) % 4
+
+    draft = gA.copy()
+    reads = []
+    # 4x strain-A coverage...
+    for s in range(0, glen - 250, 60):
+        reads.append(gA[s:s + 250].copy())
+    # ...outvoted by 12x strain-B coverage
+    for s in range(0, glen - 250, 20):
+        reads.append(gB[s:s + 250].copy())
+    contigs = ReadSet.from_seqs([draft], names=["c0"])
+    rset = ReadSet.from_seqs(reads)
+    cfg = OverlapConfig(k=11, w=5, min_ovlp_len=70, min_identity=0.9,
+                        min_anchors=2, min_chain_score=30, max_gap=500,
+                        max_occ=64, anchors_per_pair=128, gap_tile=32)
+
+    corrupted = polish_contigs(contigs, rset, cfg=cfg, rounds=1,
+                               query_block=256, min_len=70)
+    n_flipped = int((corrupted.get(0)[snp_pos] == gB[snp_pos]).sum())
+    assert n_flipped > len(snp_pos) // 2, \
+        f"unfiltered polish flipped only {n_flipped} columns (weak setup)"
+
+    kept = polish_contigs(contigs, rset, cfg=cfg, rounds=1,
+                          query_block=256, min_len=70,
+                          snp_mc=3, snp_long=False)
+    assert (kept.get(0) == gA).all(), \
+        f"{(kept.get(0) != gA).sum()} columns corrupted despite snp gate"
