@@ -180,6 +180,113 @@ def project_pairs(table: OverlapTable, labels: np.ndarray,
                       strand[first])
 
 
+def project_shared_subreads(subreads: Sequence[Sequence[Tuple[int, int,
+                                                              int]]],
+                            new_lens: np.ndarray,
+                            orig_lens: Optional[np.ndarray], *,
+                            max_group: int = 64,
+                            max_pairs: int = 500_000) -> Projection:
+    """FNO3: induced overlaps from superreads sharing an ORIGINAL subread.
+
+    The reference's alternative projection (``FindNextOverlaps3.cpp:20-173``)
+    skips the edge table entirely: it maps each original read to the
+    superreads containing it and deduces one overlap per superread pair
+    from the two stored subread indices (``deduceOverlap``: pos = idx1 -
+    idx2). Here that is a numpy groupby over the flattened (orig, row,
+    offset, ori) placement table; mixed-orientation placements induce '-'
+    pairs (shift composed through the revcomp frame, needs orig_lens).
+
+    Deliberate deviation: the reference keeps only the FIRST shared
+    original per superread pair (``overlaps_found`` set); we emit every
+    distinct (pair, shift, strand) candidate — strictly more thorough, and
+    the downstream base-level verify + best-per-pair dedup keeps one.
+
+    Args:
+      subreads: per new row, list of (orig_id, offset_in_row, ori).
+      new_lens: int64 [n_new] row lengths.
+      orig_lens: int64 lengths of original reads (None: '-' candidates
+        from mixed-orientation placements are skipped).
+      max_group: originals shared by more than this many rows are skipped
+        (repeat guard; the d-loop pairs rows at rank distance <= max_group).
+    """
+    o_orig: List[int] = []
+    o_sid: List[int] = []
+    o_off: List[int] = []
+    o_ori: List[int] = []
+    for sid, mems in enumerate(subreads):
+        for (orig, off, ori) in mems:
+            o_orig.append(orig)
+            o_sid.append(sid)
+            o_off.append(off)
+            o_ori.append(ori)
+    if not o_orig:
+        return Projection([], [], [], [])
+    o_orig = np.asarray(o_orig, dtype=np.int64)
+    o_sid = np.asarray(o_sid, dtype=np.int64)
+    o_off = np.asarray(o_off, dtype=np.int64)
+    o_ori = np.asarray(o_ori, dtype=np.int64)
+    order = np.lexsort((o_sid, o_orig))
+    o_orig, o_sid, o_off, o_ori = (o_orig[order], o_sid[order],
+                                   o_off[order], o_ori[order])
+    n = len(o_orig)
+    new_lens = np.asarray(new_lens, dtype=np.int64)
+
+    qs, ts, sh, st = [], [], [], []
+    total = 0
+    for d in range(1, max_group + 1):
+        if d >= n:
+            break
+        same = o_orig[:-d] == o_orig[d:]
+        if not same.any():
+            break
+        i = np.nonzero(same)[0]
+        j = i + d
+        s1, s2 = o_sid[i], o_sid[j]
+        ok = s1 != s2
+        i, j, s1, s2 = i[ok], j[ok], s1[ok], s2[ok]
+        if len(i) == 0:
+            continue
+        off1, off2 = o_off[i], o_off[j]
+        ori1, ori2 = o_ori[i], o_ori[j]
+        plus = ori1 == ori2
+        shift_p = off1 - off2
+        if orig_lens is not None:
+            lo = np.asarray(orig_lens, dtype=np.int64)[
+                np.minimum(o_orig[i], len(orig_lens) - 1)]
+            shift_m = off1 - (new_lens[s2] - off2 - lo)
+            keep = np.ones(len(i), dtype=bool)
+        else:
+            shift_m = shift_p            # unused
+            keep = plus
+        qs.append(s1[keep])
+        ts.append(s2[keep])
+        sh.append(np.where(plus, shift_p, shift_m)[keep])
+        st.append((~plus[keep]).astype(np.int8))
+        total += int(keep.sum())
+        if total > max_pairs:
+            break
+    if not qs:
+        return Projection([], [], [], [])
+    qid = np.concatenate(qs)
+    tid = np.concatenate(ts)
+    shift = np.concatenate(sh)
+    strand = np.concatenate(st)
+    # normalize to qid < tid (same identities as project_pairs)
+    swap = qid > tid
+    lenq = new_lens[qid]
+    lent = new_lens[tid]
+    n_shift = np.where(swap,
+                       np.where(strand == 1, lent - lenq + shift, -shift),
+                       shift)
+    n_qid = np.where(swap, tid, qid)
+    n_tid = np.where(swap, qid, tid)
+    key = np.stack([n_qid, n_tid, n_shift, strand.astype(np.int64)], axis=1)
+    _, first = np.unique(key, axis=0, return_index=True)
+    first.sort()
+    return Projection(n_qid[first], n_tid[first], n_shift[first],
+                      strand[first])
+
+
 def verify_pairs(reads: ReadSet, proj: Projection, *,
                  snp_cap: int = 64,
                  min_span: int = 1) -> OverlapTable:

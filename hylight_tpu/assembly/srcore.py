@@ -425,6 +425,16 @@ def _overlaps(ws: WorkingSet, cfg: Config, min_len: int,
         from hylight_tpu.assembly import fno
         parts.append(fno.verify_pairs(ws.reads, ws.proj, snp_cap=128,
                                       min_span=min(min_len // 2, 70)))
+    if cfg.sr_core.fno3 and ws.subreads:
+        # FNO3 alternative: pairs induced by a SHARED original subread
+        # (FindNextOverlaps3.cpp), base-verified like the FNO1 projection
+        from hylight_tpu.assembly import fno
+        p3 = fno.project_shared_subreads(
+            ws.subreads, ws.reads.lengths.astype(np.int64),
+            ws.ctx.lens if ws.ctx is not None else None)
+        if p3.n:
+            parts.append(fno.verify_pairs(ws.reads, p3, snp_cap=128,
+                                          min_span=min(min_len // 2, 70)))
     if ws.carry is not None and ws.carry.n:
         parts.append(ws.carry)
     if not parts:

@@ -156,6 +156,12 @@ class SRCoreConfig:
     #                                ViralQuasispecies.cpp:97): branch-
     #                                reduction components neighboring an
     #                                already-kept component are removed
+    # FNO3 (FindNextOverlaps3.cpp:20-173): derive candidate pairs from
+    # superreads SHARING an original subread (subread-index groupby)
+    # instead of projecting the previous edge table. Inactive on the
+    # reference's default path (program_settings.FNO defaults to 1), so
+    # off by default here too.
+    fno3: bool = False
     # diploid genome assembly (polyte --diploid, tune_params.py:371-418):
     # adds a final diploid merge stage with the typical-double-branch rule
     diploid: bool = False

@@ -105,3 +105,64 @@ def test_fno_only_merges_without_engine():
         reoverlap=False)
     assert m2 > 0
     assert ws2.reads.lengths.max() > ws1.reads.lengths.max()
+
+
+def test_fno3_shared_subread_projection(rng):
+    """FNO3 (FindNextOverlaps3.cpp:20-173): two superreads sharing an
+    original subread induce an overlap candidate whose shift is deduced
+    purely from the stored subread indices — '+' and '-' placements both.
+    Every emitted candidate must verify at 1.0 identity on error-free
+    superreads built from one genome."""
+    g = _rand(600, rng)
+    # superreads = overlapping genome windows; originals = 80bp reads at
+    # known offsets inside them (ori 0), one placed revcomp (ori 1)
+    s0 = g[0:300]
+    s1 = g[200:520]
+    s2 = revcomp_codes(g[250:560])          # a revcomp superread
+    new = ReadSet.from_seqs([s0, s1, s2])
+    o_len = np.full(10, 80, dtype=np.int64)
+    # orig 7 lives at g[220:300]: s0 offset 220 ori 0, s1 offset 20 ori 0,
+    # s2 (revcomp of g[250:560]) contains revcomp(orig7)? g[220:300] not
+    # inside [250,560) fully -> use orig 8 at g[260:340]: s1 off 60 ori 0,
+    # s2: revcomp frame position = 560-340=220 ori 1
+    subreads = [
+        [(7, 220, 0)],                      # s0
+        [(7, 20, 0), (8, 60, 0)],           # s1
+        [(8, 220, 1)],                      # s2
+    ]
+    proj = fno.project_shared_subreads(
+        subreads, new.lengths.astype(np.int64), o_len)
+    assert proj.n >= 2
+    t = fno.verify_pairs(new, proj, snp_cap=16)
+    assert t.n >= 2
+    pairs = set(zip(t.qid.tolist(), t.tid.tolist(), t.strand.tolist()))
+    assert (0, 1, 0) in pairs               # s0/s1 share orig 7, same ori
+    assert (1, 2, 1) in pairs               # s1/s2 share orig 8, mixed ori
+    assert (t.identity == 1.0).all(), t.identity
+    # the deduced extents match the true genomic overlaps
+    d = {(q, s): (qs, qe) for q, s, qs, qe in
+         zip(t.qid, t.tid, t.qs, t.qe)}
+    qs01, qe01 = d[(0, 1)]
+    assert qs01 == 200 and qe01 == 300      # s0 x s1 overlap = g[200:300)
+    qs12, qe12 = d[(1, 2)]
+    assert qs12 == 50 and qe12 == 320       # s1 x s2 overlap = g[250:520)
+
+
+def test_fno3_assembles_like_fno1(rng):
+    """sr_assemble with fno3=True still reconstructs the region (the
+    candidate source changes, the assembly result must not regress)."""
+    import dataclasses
+    g = _rand(1500, rng)
+    reads = [g[s:s + 150].copy() for s in range(0, 1351, 25)]
+    rs = ReadSet.from_seqs(reads)
+    cfg = Config()
+    cfg = cfg.replace(sr_core=dataclasses.replace(
+        cfg.sr_core, min_overlap_len=60, min_overlap_len_ec=60,
+        edge_threshold=0.999, max_iterations=6, average_read_len=150.0),
+        overlap_sr=dataclasses.replace(
+            cfg.overlap_sr, k=13, min_anchors=2, min_chain_score=30))
+    out1 = srcore.sr_assemble(rs, cfg)
+    cfg3 = cfg.replace(sr_core=dataclasses.replace(cfg.sr_core, fno3=True))
+    out3 = srcore.sr_assemble(rs, cfg3)
+    assert out3.n >= 1
+    assert int(out3.lengths.max()) >= int(0.9 * out1.lengths.max())
