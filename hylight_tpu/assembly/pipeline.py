@@ -81,7 +81,8 @@ def hybrid_assemble(lr: ReadSet, sr: Optional[ReadSet], cfg: Config, *,
             else:
                 with stage("correct_sr"):
                     sr = correct_reads(sr, k=cfg.correct.sr_k,
-                                       min_count=cfg.correct.sr_min_count)
+                                       min_count=cfg.correct.sr_min_count,
+                                       qual_thresh=cfg.correct.sr_qual_thresh)
                 ck.save("corrected_sr", sr)
             cached = ck.load("corrected_lr")
             if cached is not None:

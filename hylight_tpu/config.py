@@ -193,6 +193,10 @@ class CorrectConfig:
 
     sr_k: int = 25              # short-read correction k-mer
     sr_min_count: int = 3       # solid k-mer threshold
+    sr_qual_thresh: int = 20    # bfc -q: only k-mer occurrences whose
+    #                             bases all have phred >= this count toward
+    #                             solidity (0 disables; no-qual input is
+    #                             always counted)
     lr_k: int = 21              # long-read correction k (fmlrc2-style short k)
     lr_rounds: int = 3          # fmlrc2 x3 (HyLight.py:107-110)
     lr_indels: bool = True      # fmlrc2 repairs indels; score del/ins edits

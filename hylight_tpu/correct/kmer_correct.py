@@ -112,24 +112,50 @@ def _canon(f_hi, f_lo, r_hi, r_lo):
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def _collect_lanes(seqs, lens, *, k):
+def _collect_lanes(seqs, lens, *, k, quals=None, qthresh=None):
     f_hi, f_lo, r_hi, r_lo, valid = _kmer_lanes(seqs, lens, k)
     hi, lo = _canon(f_hi, f_lo, r_hi, r_lo)
+    if quals is not None:
+        # quality-aware counting (bfc -q behavior, HyLight.py:87): an
+        # occurrence counts toward solidity only when EVERY base of the
+        # k-mer has phred >= qthresh — sequencing-error k-mers carry at
+        # least one low-quality base and never accumulate support
+        q = quals.astype(jnp.int32)
+        qmin = -jax.lax.reduce_window(
+            -q, jnp.int32(-(1 << 30)), jax.lax.max, (1, k), (1, 1),
+            "valid")
+        valid = valid & (qmin >= qthresh)
     sentinel = jnp.uint32(0xFFFFFFFF)
     return (jnp.where(valid, hi, sentinel).reshape(-1),
             jnp.where(valid, lo, sentinel).reshape(-1))
 
 
 def build_spectrum(reads: ReadSet, *, k: int, min_count: int,
-                   block: int = 4096) -> Tuple[np.ndarray, np.ndarray]:
-    """Returns (sorted unique solid k-mer codes as uint64, their counts)."""
+                   block: int = 4096, qual_thresh: int = 0
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (sorted unique solid k-mer codes as uint64, their counts).
+
+    qual_thresh > 0 with phred-carrying reads enables bfc's quality-aware
+    counting: only occurrences whose k bases all have phred >= qual_thresh
+    count toward the >= min_count solidity rule."""
     assert k <= 32, "k-mer codes are 2k <= 64 bits"
     L = bucket_len(int(reads.lengths.max(initial=1)))
+    use_qual = qual_thresh > 0 and reads.qual is not None
     all_codes = []
     for lo_i in range(0, reads.n, block):
         sub = reads.subset(np.arange(lo_i, min(lo_i + block, reads.n)))
         seqs, lens = sub.to_padded(max_len=L)
-        hi, lo = _collect_lanes(jnp.asarray(seqs), jnp.asarray(lens), k=k)
+        if use_qual:
+            quals = np.zeros(seqs.shape, np.uint8)
+            for i in range(sub.n):
+                qv = sub.get_qual(i)
+                quals[i, :len(qv)] = qv
+            hi, lo = _collect_lanes(jnp.asarray(seqs), jnp.asarray(lens),
+                                    k=k, quals=jnp.asarray(quals),
+                                    qthresh=jnp.int32(qual_thresh))
+        else:
+            hi, lo = _collect_lanes(jnp.asarray(seqs), jnp.asarray(lens),
+                                    k=k)
         hi = np.asarray(hi).astype(np.uint64)
         lo = np.asarray(lo).astype(np.uint64)
         u64 = (hi << np.uint64(32)) | lo
@@ -139,8 +165,9 @@ def build_spectrum(reads: ReadSet, *, k: int, min_count: int,
     codes = np.concatenate(all_codes)
     uniq, counts = np.unique(codes, return_counts=True)
     solid = counts >= min_count
-    log.info("[K::spectrum] %d kmers, %d solid (>=%d)", len(uniq),
-             int(solid.sum()), min_count)
+    log.info("[K::spectrum] %d kmers, %d solid (>=%d%s)", len(uniq),
+             int(solid.sum()), min_count,
+             f", q>={qual_thresh}" if use_qual else "")
     return uniq[solid], counts[solid]
 
 
@@ -351,16 +378,19 @@ def _indel_scores_block(seqs, lens, h1s, h2s, *, k):
 
 def correct_reads(reads: ReadSet, spectrum_reads: Optional[ReadSet] = None,
                   *, k: int = 25, min_count: int = 3, rounds: int = 1,
-                  block: int = 2048, indels: bool = False) -> ReadSet:
+                  block: int = 2048, indels: bool = False,
+                  qual_thresh: int = 0) -> ReadSet:
     """Correct ``reads`` against the k-mer spectrum of ``spectrum_reads``
     (default: the reads themselves — the bfc mode; pass the short reads to
     correct long reads — the fmlrc mode with ``rounds=3`` and
     ``indels=True``). With indels, each round runs the substitution sweep
     on device, then scores single-base del/ins repairs on the result and
-    applies non-interacting ones host-side (read lengths may change)."""
+    applies non-interacting ones host-side (read lengths may change).
+    qual_thresh: see build_spectrum — quality-aware solidity counting."""
     assert k <= 32
     src = spectrum_reads if spectrum_reads is not None else reads
-    solid, _ = build_spectrum(src, k=k, min_count=min_count)
+    solid, _ = build_spectrum(src, k=k, min_count=min_count,
+                              qual_thresh=qual_thresh)
     if len(solid) == 0:
         return reads
     h1s_np, h2s_np = spectrum_tables(solid)

@@ -177,3 +177,48 @@ def test_indel_correction_preserves_quals():
                           rounds=3, indels=True)
     assert fixed.qual is not None
     assert len(fixed.get_qual(0)) == len(fixed.get(0))
+
+
+def test_quality_aware_spectrum_counting(rng):
+    """bfc -q behavior (HyLight.py:87): only k-mer occurrences whose bases
+    all have phred >= qual_thresh count toward solidity. A disagreeing
+    base supported at min_count by HIGH-quality reads survives correction
+    (its k-mers are solid); the same base carried only with LOW quality is
+    corrected away (its k-mers never accumulate support)."""
+    from hylight_tpu.correct.kmer_correct import correct_reads
+
+    k = 21
+    g = rng.integers(0, 4, size=600).astype(np.uint8)
+    vpos = 300
+    gB = g.copy()
+    gB[vpos] = (gB[vpos] + 1) % 4
+
+    def reads_with_qual(variant_qual):
+        seqs, quals = [], []
+        # deep high-quality strain-A coverage
+        for s in range(0, 451, 10):
+            seqs.append(g[s:s + 150].copy())
+            quals.append(np.full(150, 40, np.uint8))
+        # exactly min_count=3 variant reads spanning vpos
+        for s in (220, 240, 260):
+            r = gB[s:s + 150].copy()
+            q = np.full(150, 40, np.uint8)
+            q[vpos - s] = variant_qual
+            seqs.append(r)
+            quals.append(q)
+        return ReadSet.from_seqs(seqs, quals=quals)
+
+    # high-quality variant: k-mers counted -> solid -> base survives
+    rs_hi = reads_with_qual(40)
+    out_hi = correct_reads(rs_hi, k=k, min_count=3, qual_thresh=20)
+    n_a = rs_hi.n - 3
+    for i in range(n_a, rs_hi.n):
+        s = (220, 240, 260)[i - n_a]
+        assert out_hi.get(i)[vpos - s] == gB[vpos], "high-q variant corrected"
+
+    # low-quality variant: k-mers not counted -> weak -> corrected to A
+    rs_lo = reads_with_qual(5)
+    out_lo = correct_reads(rs_lo, k=k, min_count=3, qual_thresh=20)
+    for i in range(n_a, rs_lo.n):
+        s = (220, 240, 260)[i - n_a]
+        assert out_lo.get(i)[vpos - s] == g[vpos], "low-q variant survived"
