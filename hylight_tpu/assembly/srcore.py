@@ -211,7 +211,19 @@ def _pe_admission(table: OverlapTable, score_ok: np.ndarray,
     qualifying end-overlaps of >= min_overlap_len/2 each (S-S overlaps keep
     the full-length rule). Same-fragment rows never form graph edges
     (self-overlaps are skipped, EdgeCalculator.cpp:605-607; side bridging
-    happens in join_mates instead)."""
+    happens in join_mates instead).
+
+    Mutual-consistency check (the ``find_paired_overlap`` conditions,
+    ``sfo2overlaps.py:222-299``): the two end-overlaps must imply the SAME
+    relative fragment orientation and pair up DISTINCT read ends — under
+    forward-forward they must join like ends ((/1,/1) + (/2,/2)-style),
+    under forward-reverse opposite ends. Each half-overlap's implied
+    relative orientation is ``strand XOR end(q) XOR end(t)`` (a /2 mate is
+    the fragment's reverse strand), so the rule reduces to: some
+    orientation bit has qualifying half-overlaps on >= 2 distinct
+    normalized end-pairs. (The reference's additional positional-order
+    test is subsumed for real inserts by the distinct-ends requirement;
+    magnitude is never checked there either.)"""
     n = len(mate)
     rows = np.arange(n, dtype=np.int64)
     unit = np.where(mate >= 0, np.minimum(rows, mate), rows)
@@ -221,13 +233,29 @@ def _pe_admission(table: OverlapTable, score_ok: np.ndarray,
     involves_pe = (mate[table.qid] >= 0) | (mate[table.tid] >= 0)
     half_ok = score_ok & ~self_unit & (ovl >= min_overlap_len / 2)
 
+    # end bit: 0 = the unit's lower row (/1), 1 = its mate (/2)
+    endq = ((mate[table.qid] >= 0) &
+            (table.qid > mate[table.qid])).astype(np.int64)
+    endt = ((mate[table.tid] >= 0) &
+            (table.tid > mate[table.tid])).astype(np.int64)
+    rel = table.strand.astype(np.int64) ^ endq ^ endt
+    # normalize the end-pair to (lower unit, higher unit) order
+    ea = np.where(qU <= tU, endq, endt)
+    eb = np.where(qU <= tU, endt, endq)
+    epair = ea * 2 + eb
+
     a = np.minimum(qU, tU)
     b = np.maximum(qU, tU)
     pairkey = a * n + b
     uniq, inv = np.unique(pairkey, return_inverse=True)
-    cnt = np.bincount(inv[half_ok], minlength=len(uniq))
-    unit_ok = cnt[inv] >= 2
-    return np.where(involves_pe | self_unit, half_ok & unit_ok, ss_ok)
+    # distinct end-pairs present per (unit pair, orientation bit)
+    slot = (inv * 2 + rel) * 4 + epair
+    present = np.zeros(len(uniq) * 8, dtype=bool)
+    present[slot[half_ok]] = True
+    n_epairs = present.reshape(-1, 2, 4).sum(axis=2)      # [pairs, rel]
+    ok_rel = n_epairs >= 2                                 # [pairs, rel]
+    unit_ok = ok_rel[inv, rel] & half_ok
+    return np.where(involves_pe | self_unit, unit_ok, ss_ok)
 
 
 def pe_edge_filter(table: OverlapTable, keep: np.ndarray, mate: np.ndarray,

@@ -55,7 +55,10 @@ def test_sr_assemble_single_strain(rng):
     assert s in gstr or rc in gstr
 
 
-def test_sr_assemble_corrects_errors(rng):
+def test_sr_assemble_corrects_errors():
+    # own rng: the session fixture's state depends on which tests ran
+    # before, and this assertion is sensitive to the error placement
+    rng = np.random.default_rng(0)
     g = rng.integers(0, 4, size=800).astype(np.uint8)
     reads = _reads_from(g, 150, 10, rng=rng, err=0.005)  # 15x cov, 0.5% err
     rs = ReadSet.from_seqs(reads)
