@@ -37,6 +37,39 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _ava_bandwidth(max_len: int) -> int:
+    """Diagonal-band width for whole-set joins: 64 for normal blocks, 256
+    for ultralong (>32 kb) reads so the (band << qshift) packing stays in
+    int32 up to 256 kb (seed.self_join_candidates)."""
+    return 64 if max_len < (1 << 15) else 256
+
+
+def _self_join_ok(n_rows: int, max_len: int, mcap: int,
+                  seed_mode: str) -> bool:
+    """Whether an ava set runs as ONE whole-set self-join block.
+
+    The mxu path allocates [B, B] count matrices (plus a B^2 cumsum in
+    pair selection), so it is capped at 4096 rows; the sort self-join's
+    cost is the packed-key sort volume, so SHORT reads can take far more
+    rows per block (a 15k-read SR cluster — the reference's --size cap,
+    HyLight.py:43-44 — is one ~3M-minimizer join, much faster than ~60
+    legacy gather blocks) and ULTRALONG reads (up to 256 kb) ride the
+    3-operand packing with a wider band instead of the legacy gather join.
+    """
+    if n_rows <= 0 or max_len >= (1 << 18):
+        return False
+    bw = _ava_bandwidth(max_len)
+    nbands = (3 * max_len) // bw + 2
+    qshift = max(15, int(max_len - 1).bit_length())
+    if 2 * n_rows * nbands >= (1 << 31) or (nbands << qshift) >= (1 << 31):
+        return False
+    if seed_mode == "mxu" and max_len < (1 << 15):
+        return n_rows <= 4096
+    # sort join (incl. mxu configs on ultralong blocks, where the matmul
+    # path's (qpos << 15 | tpos) packing cannot represent positions)
+    return n_rows <= 4096 or n_rows * mcap <= (8 << 20)
+
+
 def bucket_len(x: int, minimum: int = 256) -> int:
     """Round a padded length up to a power of two so iterated pipelines
     (whose reads grow every round) reuse a handful of compiled shapes
@@ -77,7 +110,6 @@ def find_overlaps(reads: ReadSet, targets: Optional[ReadSet] = None, *,
                   pairs_per_block: Optional[int] = None,
                   snp_cap: int = 128,
                   cap_overlaps: bool = True,
-                  use_pallas: Optional[bool] = None,
                   mesh=None,
                   stats: Optional[EngineStats] = None) -> OverlapTable:
     """All-vs-all (targets=None) or set-vs-set overlap detection.
@@ -135,18 +167,6 @@ def find_overlaps(reads: ReadSet, targets: Optional[ReadSet] = None, *,
         tlens_d = jnp.asarray(tlens)
         t_off = nq
 
-    # the Pallas diagonal-compare kernel is opt-in: measured on v5e it runs
-    # ~1.6x slower than the XLA gather path at bench scale (whole-tile
-    # rotates per pair x diagonal dominate), and it only supports the
-    # shared-matrix (ava) layout
-    if use_pallas is None:
-        use_pallas = False
-    use_pallas = use_pallas and ava
-    seqs2_d = None
-    if use_pallas:
-        from hylight_tpu.ops.pallas_verify import make_seqs2
-        seqs2_d = make_seqs2(seqs_d, lens_d)
-
     # minimizer cap from winnowing density 2/(w+1) (+ slack for end rule)
     mcap = _round_up(int(2 * Lq / (cfg.w + 1)) + 64, 64)
     ms_all = minimizers(seqs_d, lens_d[:nq] if not ava else lens_d,
@@ -155,10 +175,9 @@ def find_overlaps(reads: ReadSet, targets: Optional[ReadSet] = None, *,
     # target index over rows [t_off, t_off+nt) — skipped by the mxu fast
     # path (its pair finding + per-pair join never touch a global index)
     NA_pre = lens_d.shape[0] if ava else nq
-    fast_ava = (ava and NA_pre <= 4096 and Lq < (1 << 15)
-                and 2 * NA_pre * ((3 * Lq) // 64 + 2) < (1 << 31))
+    fast_ava = ava and _self_join_ok(NA_pre, Lq, mcap, cfg.seed_mode)
     index = None
-    if not (fast_ava and cfg.seed_mode == "mxu"):
+    if not (fast_ava and cfg.seed_mode == "mxu" and Lq < (1 << 15)):
         if ava:
             tm = ms_all
         else:
@@ -176,10 +195,9 @@ def find_overlaps(reads: ReadSet, targets: Optional[ReadSet] = None, *,
     # this is the SR core's per-iteration overlap call, where the legacy
     # per-block gather join dominated cluster assembly time
     NA = lens_d.shape[0] if ava else nq      # padded ava row count
-    if ava and NA <= 4096 and Lq < (1 << 15) \
-            and 2 * NA * ((3 * Lq) // 64 + 2) < (1 << 31):
+    if ava and _self_join_ok(NA, Lq, mcap, cfg.seed_mode):
         P_all = pairs_per_block or _round_up(NA * 24, 256)
-        if cfg.seed_mode == "mxu":
+        if cfg.seed_mode == "mxu" and Lq < (1 << 15):
             from hylight_tpu.overlap.seed_mxu import mxu_candidates
             cand = mxu_candidates(
                 ms_all, lens_d.astype(jnp.int32), bandwidth=64,
@@ -197,7 +215,8 @@ def find_overlaps(reads: ReadSet, targets: Optional[ReadSet] = None, *,
                 join_occ *= 2
             join_occ = min(join_occ, cfg.max_occ)
             cand = seed_mod.self_join_candidates(
-                index, lens_d.astype(jnp.int32), bandwidth=64,
+                index, lens_d.astype(jnp.int32),
+                bandwidth=_ava_bandwidth(Lq),
                 min_anchors=cfg.min_anchors, max_pairs=P_all,
                 anchors_per_pair=A, max_occ=cfg.max_occ, k=cfg.k,
                 n_reads=NA, max_len=Lq, join_occ=join_occ)
@@ -255,14 +274,9 @@ def find_overlaps(reads: ReadSet, targets: Optional[ReadSet] = None, *,
             row_size=mcap * cfg.max_occ, k=cfg.k)
         ch = refine_chains(cand, k=cfg.k, min_score=cfg.min_chain_score,
                            max_gap=cfg.max_gap)
-        if use_pallas:
-            from hylight_tpu.ops.pallas_verify import extend_chains_pallas
-            ext = extend_chains_pallas(ch, seqs2_d, k=cfg.k,
-                                       max_mismatch=snp_cap)
-        else:
-            ext = extend_chains(ch, seqs_d, max_mismatch=snp_cap,
-                                seqs_t=None if ava else seqs_t_d,
-                                toff=t_off, **extend_kwargs(cfg))
+        ext = extend_chains(ch, seqs_d, max_mismatch=snp_cap,
+                            seqs_t=None if ava else seqs_t_d,
+                            toff=t_off, **extend_kwargs(cfg))
         sc = admission_filter(
             ch, ext, min_len=cfg.min_ovlp_len, min_identity=cfg.min_identity,
             max_overhang=cfg.max_overhang, overhang_ratio=cfg.overhang_ratio)

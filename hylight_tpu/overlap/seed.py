@@ -195,21 +195,23 @@ def self_join_candidates(index: MinimizerIndex, lens: jax.Array, *,
 
     Anchor multiset is identical to collect_anchors(dedup_self=True) +
     group_candidates (validated by tests/test_seed.py). Requires
-    ``n_reads * 2 * nbands < 2^31`` and ``max_len <= 2^15`` (the block
-    sizes the engine feeds); larger blocks use the legacy path.
-    """
+    ``n_reads * 2 * nbands < 2^31``; reads up to 2^15 use the fused
+    one-key packing, ULTRALONG reads (up to (nbands << qshift) < 2^31 —
+    128 kb at bandwidth 64, 256 kb at 256) use the 3-operand layout with
+    qshift = bit_length(max_len) so >32 kb ONT reads never fall back to
+    the legacy gather join (round-4 W4)."""
     h, tid2s, tpos = index.hash, index.tid2s, index.tpos
     Nt = h.shape[0]
     P, A = max_pairs, anchors_per_pair
     nbands = (3 * max_len) // bandwidth + 2
-    qshift = 15
+    qshift = max(15, int(max_len - 1).bit_length())
     bandbits = max(int(nbands - 1).bit_length(), 1)
     pairbits = int(2 * n_reads - 1).bit_length() + \
         int(n_reads - 1).bit_length()
-    one_key = (pairbits + bandbits) <= 30 and max_len < (1 << qshift)
-    assert max_len < (1 << qshift), "self-join packed path needs len < 32768"
+    one_key = (pairbits + bandbits) <= 30 and max_len < (1 << 15)
     assert 2 * n_reads * nbands < (1 << 31), "key packing overflow"
-    assert (nbands << qshift) < (1 << 31), "band/qpos packing overflow"
+    assert (nbands << qshift) < (1 << 31), \
+        "band/qpos packing overflow (raise bandwidth for ultralong blocks)"
 
     iota = jnp.arange(Nt, dtype=jnp.int32)
     last = jnp.concatenate([h[1:] != h[:-1], jnp.ones(1, jnp.bool_)])

@@ -127,12 +127,15 @@ def test_streamed_matches_plain(rng):
         assert abs(pl[(int(q), int(d))] - float(i)) < 1e-5
 
 
-def test_ultralong_reads_legacy_path(rng):
-    """Reads longer than the packed self-join budget (32 kb) must fall back
-    to the query-block gather path and still find dovetails — the 100 kb
-    ONT-read story (reference handles these via minimap2's heap chaining,
-    ``filter_overlap_slr2.py:51``; here the length bucket simply exceeds
-    the self-join packing limit)."""
+def test_ultralong_reads_packed_path(rng):
+    """Reads longer than 32 kb ride the packed self-join with widened
+    bands and qshift = bit_length(len) (round-4 W4: previously they fell
+    to the slow legacy gather path) — the 100 kb ONT-read story
+    (reference handles these via minimap2's heap chaining,
+    ``filter_overlap_slr2.py:51``)."""
+    from hylight_tpu.overlap.engine import _self_join_ok, _ava_bandwidth
+    assert _self_join_ok(3, 65536, 12000, "mxu")     # sort join takes over
+    assert _ava_bandwidth(65536) == 256
     g = rng.integers(0, 4, size=60_000).astype(np.uint8)
     reads = [g[:40_000], g[20_000:60_000], g[5_000:45_000]]
     # 1% substitution noise on one read

@@ -38,5 +38,19 @@ cfg = Config().replace(
 t0 = time.time()
 out = sr_assemble(rs, cfg)
 dt = time.time() - t0
+from hylight_tpu.io.readset import decode_seq
+gA = decode_seq(genome); gB = decode_seq(genomeB)
+n_exact = 0
+tot = 0
+for i in range(out.n):
+    c = out.get(i)
+    s = decode_seq(c); r = decode_seq(revcomp_codes(c))
+    tot += len(c)
+    if s in gA or s in gB or r in gA or r in gB:
+        n_exact += 1
+lens = sorted(out.lengths.tolist(), reverse=True)
+cum = np.cumsum(lens)
+n50 = lens[int(np.searchsorted(cum, cum[-1] / 2))] if lens else 0
 print(f"sr_assemble({rs.n} reads) = {dt:.1f} s -> {out.n} contigs, "
-      f"longest {int(out.lengths.max(initial=0))}")
+      f"longest {int(out.lengths.max(initial=0))}, N50 {n50}, "
+      f"{n_exact}/{out.n} strain-exact, {tot} bp total")
