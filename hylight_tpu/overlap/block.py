@@ -19,7 +19,7 @@ from hylight_tpu.overlap.filters import admission_filter
 
 
 def make_block_fn(cfg: OverlapConfig, *, mcap: int, max_pairs: int,
-                  snp_cap: int = 64, use_pallas: bool = False,
+                  snp_cap: int = 64,
                   n_reads: int = 0, max_len: int = 0):
     """Build a jittable fn(seqs, lens) -> (Chains, Extensions, ScoredOverlaps)
     computing all-vs-all overlaps inside one padded read block.
@@ -79,14 +79,8 @@ def make_block_fn(cfg: OverlapConfig, *, mcap: int, max_pairs: int,
                 row_size=mcap * cfg.max_occ, k=cfg.k)
         ch = refine_chains(cand, k=cfg.k, min_score=cfg.min_chain_score,
                            max_gap=cfg.max_gap)
-        if use_pallas:
-            from hylight_tpu.ops.pallas_verify import (extend_chains_pallas,
-                                                       make_seqs2)
-            ext = extend_chains_pallas(ch, make_seqs2(seqs, lens),
-                                       k=cfg.k, max_mismatch=snp_cap)
-        else:
-            ext = extend_chains(ch, seqs, max_mismatch=snp_cap,
-                                **extend_kwargs(cfg))
+        ext = extend_chains(ch, seqs, max_mismatch=snp_cap,
+                            **extend_kwargs(cfg))
         sc = admission_filter(ch, ext, min_len=cfg.min_ovlp_len,
                               min_identity=cfg.min_identity,
                               max_overhang=cfg.max_overhang,
