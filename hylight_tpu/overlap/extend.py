@@ -210,11 +210,11 @@ def _verify_eq_tier(qpacked, tpacked, ch, tid_row, aq_s, at_s, gap_s, ok_s,
     ver_cols = jnp.sum(both_acgt, axis=(1, 2)).astype(jnp.int32)
     matches = jnp.sum(eq, axis=(1, 2)).astype(jnp.int32)
     n_cols = jnp.sum(incol & ~both_acgt, axis=(1, 2)).astype(jnp.int32)
-    # events travel as the flat flag matrix ONLY; coordinates and bases
-    # are reconstructed after compaction for just the S selected events
-    # (materializing [P, AG*G] coordinate payloads costs more than the
-    # whole window verify at bench scale)
-    return matches, ver_cols, n_cols, mm.reshape(P, -1)
+    q0 = (aq_s + k)[..., None] + j
+    t0 = (at_s + k)[..., None] + j
+    return matches, ver_cols, n_cols, (
+        mm.reshape(P, -1), q0.reshape(P, -1), t0.reshape(P, -1),
+        qb.reshape(P, -1), tb.reshape(P, -1))
 
 
 def _verify_indel_tier(qpacked, tpacked, ch, tid_row, aq_s, at_s,
@@ -265,7 +265,11 @@ def _verify_indel_tier(qpacked, tpacked, ch, tid_row, aq_s, at_s,
         (j >= (p_star[..., None] + jnp.maximum(delta, 0))) & \
         (j < gq_s[..., None]) & (jt >= 0) & (jt < gt_s[..., None])
     mm2 = suff & (qgap < 4) & (tb2 < 4) & (qgap != tb2)
-    return matches, ver_cols, jnp.zeros_like(matches), mm2.reshape(P, -1)
+    q0 = (aq_s + k)[..., None] + j
+    t0_suffix = (at_s + k)[..., None] + j - delta
+    return matches, ver_cols, jnp.zeros_like(matches), (
+        mm2.reshape(P, -1), q0.reshape(P, -1), t0_suffix.reshape(P, -1),
+        qgap.reshape(P, -1), tb2.reshape(P, -1))
 
 
 def extend_kwargs(cfg) -> dict:
@@ -421,14 +425,23 @@ def extend_chains(ch: Chains, seqs: jax.Array, *, k: int, gap_tile: int,
     identity = (m + u * (m / c)) / (c + u + g)
     identity = jnp.where(ch.valid, identity, 0.0)
 
-    # compact the first S mismatch events per row: 1-operand row sort of
-    # (col or BIG) + static slice (row-wise scatters serialize badly on
-    # TPU, and top_k costs ~4x the sort at this width). Only the FLAG
-    # matrix exists at full [P, M] width; the selected events' coordinates
-    # and bases are reconstructed below from the tier select arrays plus
-    # two single-base fetches — the [P, M] coordinate payload arrays this
-    # replaces cost more HBM traffic than the window verify itself.
-    mmf = jnp.concatenate(mm_parts, axis=1)
+    # compact mismatch events to [P, S]; emit forward coordinates. All
+    # tiers' events concatenate along the flattened column axis
+    # (coordinates travel with each event). Compaction is a 1-operand row
+    # sort of (col or BIG) + static slice + payload gathers at [P, S]
+    # (row-wise scatters serialize badly on TPU, and top_k costs ~4x the
+    # sort at this width; reconstructing coordinates after compaction was
+    # measured SLOWER than carrying the payload arrays — see BASELINE.md).
+    mmf = jnp.concatenate([t[0] for t in mm_parts], axis=1)
+    qpos_f = jnp.concatenate([t[1] for t in mm_parts], axis=1)
+    tpos_adj = jnp.concatenate([t[2] for t in mm_parts], axis=1)
+    tpos_fwd = jnp.where(ch.strand[:, None] == 1,
+                         ch.tlen[:, None] - 1 - tpos_adj, tpos_adj)
+    qb_f = jnp.concatenate([t[3] for t in mm_parts], axis=1)
+    tb_f = jnp.concatenate([t[4] for t in mm_parts], axis=1)
+    # base pair in forward target frame: complement if '-' strand
+    tb_fwd = jnp.where((ch.strand[:, None] == 1) & (tb_f < 4), 3 - tb_f, tb_f)
+
     M = mmf.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (P, M), 1)
     key = jnp.where(mmf, col, jnp.int32(1 << 30))
@@ -436,52 +449,16 @@ def extend_chains(ch: Chains, seqs: jax.Array, *, k: int, gap_tile: int,
                             is_stable=False)
     sel_ok = keyS2[:, :S] < jnp.int32(1 << 30)   # earliest columns first
     topi = jnp.minimum(keyS2[:, :S], M - 1)
+    prow = jax.lax.broadcasted_iota(jnp.int32, (P, S), 0)
 
-    # decode flat column -> (tier, link slot, in-gap offset j)
-    b0 = AGes * Gs
-    b1 = b0 + AGel * G
-    in_es = topi < b0
-    in_el = (topi >= b0) & (topi < b1)
+    def compact(x, fill, dtype):
+        return jnp.where(sel_ok, x[prow, topi].astype(dtype),
+                         jnp.asarray(fill, dtype))
 
-    def _slot_field(sel, tier_slot, in_tier, AG, field):
-        v = jnp.take_along_axis(sel[field],
-                                jnp.clip(tier_slot, 0, AG - 1), axis=1)
-        return jnp.where(in_tier, v, 0)
-
-    s_es, j_es = topi // Gs, topi % Gs
-    s_el, j_el = (topi - b0) // G, (topi - b0) % G
-    qpos = (_slot_field(sel_es, s_es, in_es, AGes, 0)
-            + _slot_field(sel_el, s_el, in_el, AGel, 0))
-    tadj = (_slot_field(sel_es, s_es, in_es, AGes, 1)
-            + _slot_field(sel_el, s_el, in_el, AGel, 1))
-    joff = jnp.where(in_es, j_es, jnp.where(in_el, j_el, 0))
-    if sel_i is not None:
-        in_i = topi >= b1
-        s_i, j_i = (topi - b1) // G, (topi - b1) % G
-        qpos = qpos + _slot_field(sel_i, s_i, in_i, AGi, 0)
-        # suffix events align read column j with draft column j - delta
-        delta_i = jnp.take_along_axis(sel_i[3] - sel_i[4],
-                                      jnp.clip(s_i, 0, AGi - 1), axis=1)
-        tadj = tadj + jnp.where(in_i,
-                                _slot_field(sel_i, s_i, in_i, AGi, 1)
-                                - delta_i, 0)
-        joff = jnp.where(in_i, j_i, joff)
-    qpos = qpos + k + joff
-    tadj = tadj + k + joff
-    tpos_fwd = jnp.where(ch.strand[:, None] == 1,
-                         ch.tlen[:, None] - 1 - tadj, tadj)
-
-    def _fetch_base(packed, rid, pos):
-        s = jnp.clip(pos + pad_bases, 0, packed.shape[1] * 8 - 1)
-        w = packed[rid[:, None], s >> 3]
-        return (w >> ((s & 7) * 4)) & 15
-
-    mm_q = jnp.where(sel_ok, qpos, -1)
-    mm_t = jnp.where(sel_ok, tpos_fwd, -1)
-    mm_qb = jnp.where(sel_ok, _fetch_base(qpacked, ch.qid, qpos),
-                      4).astype(jnp.int8)
-    mm_tb = jnp.where(sel_ok, _fetch_base(tpacked, tid_row, tpos_fwd),
-                      4).astype(jnp.int8)
+    mm_q = compact(qpos_f, -1, jnp.int32)
+    mm_t = compact(tpos_fwd, -1, jnp.int32)
+    mm_qb = compact(qb_f, 4, jnp.int8)
+    mm_tb = compact(tb_fwd, 4, jnp.int8)
     mm_n = jnp.sum(mmf, axis=1).astype(jnp.int32)
     mm_mask = jax.lax.broadcasted_iota(jnp.int32, (P, S), 1) < \
         jnp.minimum(mm_n, S)[:, None]
