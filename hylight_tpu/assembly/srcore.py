@@ -96,6 +96,10 @@ class WorkingSet:
     # per working read: list of (orig_read_id, offset, ori)
     subreads: List[List[Tuple[int, int, int]]] = field(default_factory=list)
     mate: Optional[np.ndarray] = None   # int64 [n], -1 = single
+    # True only for the initial raw-read set, whose PE rows keep the FR
+    # sequencing layout — gates the strict find_paired_overlap-style PE
+    # consistency check (superread sides lose FR, see _pe_admission)
+    fr_layout: bool = False
     ctx: Optional["SRContext"] = None   # original-read context
     # previous iteration's FULL overlap table between rows that survived
     # unchanged, remapped to this set's ids — the reference's
@@ -120,7 +124,7 @@ class WorkingSet:
                    ctx: Optional["SRContext"] = None) -> "WorkingSet":
         return WorkingSet(reads=rs,
                           subreads=[[(i, 0, 0)] for i in range(rs.n)],
-                          mate=mate, ctx=ctx)
+                          mate=mate, ctx=ctx, fr_layout=True)
 
     @property
     def n(self) -> int:
@@ -170,7 +174,8 @@ def score_edges(table: OverlapTable, rs: ReadSet,
 
 def admit_edges(table: OverlapTable, rs: ReadSet, *, min_overlap_len: int,
                 edge_threshold: float, merge_eps: float = 0.0,
-                mate: Optional[np.ndarray] = None) -> np.ndarray:
+                mate: Optional[np.ndarray] = None,
+                fr_pairs: bool = False) -> np.ndarray:
     """Admission rule (EdgeCalculator.cpp:404-409): score > threshold OR
     mismatch_rate <= merge_eps; plus the overlap length gate — the full
     min_overlap_len for single-single overlaps, or the PE rule (two
@@ -185,7 +190,8 @@ def admit_edges(table: OverlapTable, rs: ReadSet, *, min_overlap_len: int,
     ss_ok = score_ok & (ovl >= min_overlap_len)
     if mate is None or not (np.asarray(mate) >= 0).any():
         return ss_ok
-    return _pe_admission(table, score_ok, ss_ok, ovl, mate, min_overlap_len)
+    return _pe_admission(table, score_ok, ss_ok, ovl, mate,
+                         min_overlap_len, fr_pairs=fr_pairs)
 
 
 def mate_from_names(rs: ReadSet) -> np.ndarray:
@@ -205,7 +211,8 @@ def mate_from_names(rs: ReadSet) -> np.ndarray:
 
 def _pe_admission(table: OverlapTable, score_ok: np.ndarray,
                   ss_ok: np.ndarray, ovl: np.ndarray, mate: np.ndarray,
-                  min_overlap_len: int) -> np.ndarray:
+                  min_overlap_len: int, fr_pairs: bool = False
+                  ) -> np.ndarray:
     """PE admission (EdgeCalculator.cpp:612-632): an overlap involving a
     paired read is admitted only when the two fragments share TWO
     qualifying end-overlaps of >= min_overlap_len/2 each (S-S overlaps keep
@@ -214,16 +221,19 @@ def _pe_admission(table: OverlapTable, score_ok: np.ndarray,
     happens in join_mates instead).
 
     Mutual-consistency check (the ``find_paired_overlap`` conditions,
-    ``sfo2overlaps.py:222-299``): the two end-overlaps must imply the SAME
-    relative fragment orientation and pair up DISTINCT read ends — under
-    forward-forward they must join like ends ((/1,/1) + (/2,/2)-style),
-    under forward-reverse opposite ends. Each half-overlap's implied
-    relative orientation is ``strand XOR end(q) XOR end(t)`` (a /2 mate is
-    the fragment's reverse strand), so the rule reduces to: some
-    orientation bit has qualifying half-overlaps on >= 2 distinct
-    normalized end-pairs. (The reference's additional positional-order
-    test is subsumed for real inserts by the distinct-ends requirement;
-    magnitude is never checked there either.)"""
+    ``sfo2overlaps.py:222-299``), applied with the REFERENCE'S SCOPE:
+    sfo2overlaps preprocesses the sfo output of ORIGINAL FR reads once,
+    before the first iteration — later superread iterations use VQ's own
+    plain two-half rule (EdgeCalculator.cpp:612-632) because superread
+    pair sides do not keep the FR layout (the accumulators emit both
+    sides in the iteration's plus frame, and trivial rows unflipped). So
+    with ``fr_pairs=True`` (original reads) the two end-overlaps must
+    imply the SAME relative fragment orientation (rel = strand XOR
+    end(q) XOR end(t); the /2 mate is the fragment's reverse strand) and
+    pair up DISTINCT normalized read ends; with ``fr_pairs=False`` the
+    count>=2 rule applies. (The reference's positional-order test is
+    subsumed for real inserts by the distinct-ends requirement; magnitude
+    is never checked there either.)"""
     n = len(mate)
     rows = np.arange(n, dtype=np.int64)
     unit = np.where(mate >= 0, np.minimum(rows, mate), rows)
@@ -238,35 +248,39 @@ def _pe_admission(table: OverlapTable, score_ok: np.ndarray,
             (table.qid > mate[table.qid])).astype(np.int64)
     endt = ((mate[table.tid] >= 0) &
             (table.tid > mate[table.tid])).astype(np.int64)
-    rel = table.strand.astype(np.int64) ^ endq ^ endt
-    # normalize the end-pair to (lower unit, higher unit) order
-    ea = np.where(qU <= tU, endq, endt)
-    eb = np.where(qU <= tU, endt, endq)
-    epair = ea * 2 + eb
-
+    strand = table.strand.astype(np.int64)
     a = np.minimum(qU, tU)
     b = np.maximum(qU, tU)
     pairkey = a * n + b
     uniq, inv = np.unique(pairkey, return_inverse=True)
-    # distinct end-pairs present per (unit pair, orientation bit)
-    slot = (inv * 2 + rel) * 4 + epair
-    present = np.zeros(len(uniq) * 8, dtype=bool)
-    present[slot[half_ok]] = True
-    n_epairs = present.reshape(-1, 2, 4).sum(axis=2)      # [pairs, rel]
-    ok_rel = n_epairs >= 2                                 # [pairs, rel]
-    unit_ok = ok_rel[inv, rel] & half_ok
+    if fr_pairs:
+        rel = strand ^ endq ^ endt       # FR convention (original reads)
+        # normalize the end-pair to (lower unit, higher unit) order
+        ea = np.where(qU <= tU, endq, endt)
+        eb = np.where(qU <= tU, endt, endq)
+        epair = ea * 2 + eb
+        # distinct end-pairs present per (unit pair, orientation bit)
+        slot = (inv * 2 + rel) * 4 + epair
+        present = np.zeros(len(uniq) * 8, dtype=bool)
+        present[slot[half_ok]] = True
+        n_epairs = present.reshape(-1, 2, 4).sum(axis=2)   # [pairs, rel]
+        unit_ok = (n_epairs >= 2)[inv, rel] & half_ok
+    else:
+        cnt = np.bincount(inv[half_ok], minlength=len(uniq))
+        unit_ok = (cnt[inv] >= 2) & half_ok
     return np.where(involves_pe | self_unit, unit_ok, ss_ok)
 
 
 def pe_edge_filter(table: OverlapTable, keep: np.ndarray, mate: np.ndarray,
-                   min_overlap_len: int) -> np.ndarray:
+                   min_overlap_len: int, fr_pairs: bool = False
+                   ) -> np.ndarray:
     """Standalone PE admission over an already-admitted mask (see
     _pe_admission; used by tests and external callers)."""
     if table.n == 0 or not (mate >= 0).any():
         return keep
     ovl = np.minimum(table.qe - table.qs, table.te - table.ts)
     return _pe_admission(table, keep, keep & (ovl >= min_overlap_len),
-                         ovl, mate, min_overlap_len)
+                         ovl, mate, min_overlap_len, fr_pairs=fr_pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -533,7 +547,8 @@ def clique_iteration(ws: WorkingSet, cfg: Config, *, min_overlap_len: int,
     admitted = admit_edges(table, ws.reads,
                            min_overlap_len=min_overlap_len,
                            edge_threshold=edge_threshold,
-                           merge_eps=merge_eps, mate=ws.mate)
+                           merge_eps=merge_eps, mate=ws.mate,
+                           fr_pairs=ws.fr_layout)
     labels, keep = orient_reads(table, ws.n, admitted)
     keep, _ = sr_graph.clean_graph(
         table, labels, keep,
@@ -713,7 +728,8 @@ def merge_iteration(ws: WorkingSet, cfg: Config, *, min_overlap_len: int,
     admitted = admit_edges(table, ws.reads,
                            min_overlap_len=min_overlap_len,
                            edge_threshold=edge_threshold,
-                           merge_eps=merge_eps, mate=ws.mate)
+                           merge_eps=merge_eps, mate=ws.mate,
+                           fr_pairs=ws.fr_layout)
     labels, keep0 = orient_reads(table, ws.n, admitted)
     offsets_rel = _plus_frame_offsets(table, labels)
     edge_of = {(int(table.qid[e]), int(table.tid[e])): int(e)
