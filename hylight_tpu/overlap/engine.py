@@ -406,36 +406,59 @@ def _find_overlaps_mesh(reads: ReadSet, *, cfg: OverlapConfig, mesh,
     return table
 
 
+@_functools.partial(_jax.jit)
+def _pack_outputs(ch, ext, sc):
+    """Stack a block's outputs into 4 dtype-grouped device buffers.
+
+    Under the axon tunnel every np.asarray is a full device roundtrip
+    (~28 ms) and transfers the WHOLE buffer; packing turns ~20 fetches
+    per block into 4 (CLAUDE.md environment gotchas)."""
+    ints = jnp.stack([ch.qid, ch.tid, ch.strand.astype(jnp.int32),
+                      ch.qs, ch.qe, ch.ts, ch.te, ch.qlen, ch.tlen,
+                      ext.matches,
+                      ext.columns + ext.unverified + ext.indels,
+                      sc.valid.astype(jnp.int32)])
+    flts = jnp.stack([ext.identity, sc.score, sc.score2, sc.score3])
+    mmi = jnp.stack([ext.mm_q, ext.mm_t])
+    mmb = jnp.stack([ext.mm_qb, ext.mm_tb,
+                     ext.mm_mask.astype(jnp.int8)])
+    return ints, flts, mmi, mmb
+
+
 def _materialize(ch, ext, sc, t_off: int) -> OverlapTable:
     """Compact one block's valid overlaps to a host OverlapTable."""
-    valid = np.asarray(sc.valid)
-    idx = np.nonzero(valid)[0]
+    ints_d, flts_d, mmi_d, mmb_d = _pack_outputs(ch, ext, sc)
+    ints = np.asarray(ints_d)
+    flts = np.asarray(flts_d)
+    mmi = np.asarray(mmi_d)
+    mmb = np.asarray(mmb_d)
+    (qid, tid, strand32, qs, qe, ts, te, qlen, tlen_r, matches, cols,
+     valid) = ints
+    idx = np.nonzero(valid != 0)[0]
 
-    strand = np.asarray(ch.strand)[idx].astype(np.int8)
-    tlen = np.asarray(ch.tlen)[idx]
-    ts_a = np.asarray(ch.ts)[idx]
-    te_a = np.asarray(ch.te)[idx]
+    strand = strand32[idx].astype(np.int8)
+    tlen = tlen_r[idx]
+    ts_a = ts[idx]
+    te_a = te[idx]
     ts_fwd = np.where(strand == 1, tlen - te_a, ts_a)
     te_fwd = np.where(strand == 1, tlen - ts_a, te_a)
 
-    cols = (np.asarray(ext.columns)[idx] + np.asarray(ext.unverified)[idx]
-            + np.asarray(ext.indels)[idx])
     return OverlapTable(
-        qid=np.asarray(ch.qid)[idx],
-        tid=np.asarray(ch.tid)[idx] - t_off,
+        qid=qid[idx],
+        tid=tid[idx] - t_off,
         strand=strand,
-        qs=np.asarray(ch.qs)[idx], qe=np.asarray(ch.qe)[idx],
+        qs=qs[idx], qe=qe[idx],
         ts=ts_fwd, te=te_fwd,
-        qlen=np.asarray(ch.qlen)[idx], tlen=tlen,
-        matches=np.asarray(ext.matches)[idx],
-        columns=cols,
-        identity=np.asarray(ext.identity)[idx],
-        score=np.asarray(sc.score)[idx],
-        score2=np.asarray(sc.score2)[idx],
-        score3=np.asarray(sc.score3)[idx],
-        mm_q=np.asarray(ext.mm_q)[idx], mm_t=np.asarray(ext.mm_t)[idx],
-        mm_qb=np.asarray(ext.mm_qb)[idx], mm_tb=np.asarray(ext.mm_tb)[idx],
-        mm_mask=np.asarray(ext.mm_mask)[idx],
+        qlen=qlen[idx], tlen=tlen,
+        matches=matches[idx],
+        columns=cols[idx],
+        identity=flts[0][idx],
+        score=flts[1][idx],
+        score2=flts[2][idx],
+        score3=flts[3][idx],
+        mm_q=mmi[0][idx], mm_t=mmi[1][idx],
+        mm_qb=mmb[0][idx].astype(np.int8), mm_tb=mmb[1][idx].astype(np.int8),
+        mm_mask=mmb[2][idx] != 0,
     )
 
 
