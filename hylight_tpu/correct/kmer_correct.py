@@ -195,9 +195,39 @@ def _member(h1s, h2s, q_hi, q_lo):
     return hit.reshape(shape)
 
 
+def _roll_accum(hit, jv, L):
+    """Contribution of per-start hits to positions p = s + j, with
+    non-covered columns counting True (the edge rule): pad the [B, Lk]
+    hits to [B, L] with True on the right, then roll right by the traced
+    offset — the wrapped-in prefix is the True padding."""
+    B, Lk = hit.shape
+    hitL = jnp.pad(hit, ((0, 0), (0, L - Lk)), constant_values=True)
+    return jnp.roll(hitL, jv, axis=1).astype(jnp.int32)
+
+
+def _sub_steps(k: int):
+    """Per-offset scan constants for the substitution sweep."""
+    js = np.arange(k)
+    df = k - 1 - js
+    return dict(
+        f_in_hi=jnp.asarray(df >= 16),
+        f_sh=jnp.asarray(np.where(df < 16, 2 * df,
+                                  2 * (df - 16)).astype(np.uint32)),
+        r_in_hi=jnp.asarray(js >= 16),
+        r_sh=jnp.asarray(np.where(js < 16, 2 * js,
+                                  2 * (js - 16)).astype(np.uint32)),
+        j=jnp.asarray(js.astype(np.int32)))
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _correct_block(seqs, lens, h1s, h2s, *, k):
-    """One correction sweep. Returns corrected seqs (uint8 [B, L])."""
+    """One correction sweep. Returns corrected seqs (uint8 [B, L]).
+
+    The per-(base, offset) trial loop runs as a ``lax.scan`` over
+    precomputed digit-mask constants (round-4 stabilization: the fully
+    unrolled 4*k-way program was the largest HLO in the repo and the
+    compile the long-run segfaults landed on; the scan body is ~k times
+    smaller and compiles ~10x faster)."""
     B, L = seqs.shape
     Lk = L - k + 1
 
@@ -215,36 +245,24 @@ def _correct_block(seqs, lens, h1s, h2s, *, k):
     # trial substitutions: for each base b and in-kmer offset j, the trial
     # code differs from the original in one forward digit and one RC digit;
     # set both lanes accordingly, re-canonicalize, and test membership.
+    steps = _sub_steps(k)
     best_gain = jnp.zeros((B, L), jnp.int32)
     best_base = seqs
     for b in range(4):
-        gain_b = jnp.zeros((B, L), jnp.int32)
-        for j in range(k):
-            df = k - 1 - j
-            if df < 16:
-                sh = jnp.uint32(2 * df)
-                tf_lo = (f_lo & ~(jnp.uint32(3) << sh)) | (jnp.uint32(b) << sh)
-                tf_hi = f_hi
-            else:
-                sh = jnp.uint32(2 * (df - 16))
-                tf_hi = (f_hi & ~(jnp.uint32(3) << sh)) | (jnp.uint32(b) << sh)
-                tf_lo = f_lo
-            if j < 16:
-                sh = jnp.uint32(2 * j)
-                tr_lo = (r_lo & ~(jnp.uint32(3) << sh)) | \
-                    (jnp.uint32(3 - b) << sh)
-                tr_hi = r_hi
-            else:
-                sh = jnp.uint32(2 * (j - 16))
-                tr_hi = (r_hi & ~(jnp.uint32(3) << sh)) | \
-                    (jnp.uint32(3 - b) << sh)
-                tr_lo = r_lo
+        def body(gain, xs, b=b):
+            m_f = jnp.uint32(3) << xs["f_sh"]
+            d_f = jnp.uint32(b) << xs["f_sh"]
+            tf_lo = jnp.where(xs["f_in_hi"], f_lo, (f_lo & ~m_f) | d_f)
+            tf_hi = jnp.where(xs["f_in_hi"], (f_hi & ~m_f) | d_f, f_hi)
+            m_r = jnp.uint32(3) << xs["r_sh"]
+            d_r = jnp.uint32(3 - b) << xs["r_sh"]
+            tr_lo = jnp.where(xs["r_in_hi"], r_lo, (r_lo & ~m_r) | d_r)
+            tr_hi = jnp.where(xs["r_in_hi"], (r_hi & ~m_r) | d_r, r_hi)
             t_hi, t_lo = _canon(tf_hi, tf_lo, tr_hi, tr_lo)
             hit = jnp.where(valid, _member(h1s, h2s, t_hi, t_lo), True)
-            # k-mer start s covers position p = s + j; pad non-covered True
-            gain_b = gain_b + jnp.pad(
-                hit, ((0, 0), (j, L - Lk - j)),
-                constant_values=True).astype(jnp.int32)
+            return gain + _roll_accum(hit, xs["j"], L), None
+
+        gain_b, _ = jax.lax.scan(body, jnp.zeros((B, L), jnp.int32), steps)
         better = gain_b > best_gain
         best_gain = jnp.where(better, gain_b, best_gain)
         best_base = jnp.where(better, jnp.uint8(b), best_base)
@@ -312,21 +330,29 @@ def _indel_scores_block(seqs, lens, h1s, h2s, *, k):
     # --- deletion of base p: novel k-mer at start s = p - m, m in 1..k-1
     # blends digits d >= k-m of code(s) with digits d < k-m of code(s+1)
     # (forward), and RC digits j < m of rc(s) with j >= m of rc(s+1).
-    del_gain = jnp.zeros((B, L), jnp.int32)
-    for m in range(1, k):
-        lo_m, hi_m = _digit_mask(k - m, k)          # digits d < k-m
-        t_flo = (f_lo & ~lo_m) | (f_lo1 & lo_m)
-        t_fhi = (f_hi & ~hi_m) | (f_hi1 & hi_m)
-        rlo_m, rhi_m = _digit_mask(m, k)            # rc digits j < m
-        t_rlo = (r_lo & rlo_m) | (r_lo1 & ~rlo_m)
-        t_rhi = (r_hi & rhi_m) | (r_hi1 & ~rhi_m)
+    # Runs as a lax.scan over precomputed per-m digit masks (see
+    # _correct_block: the unrolled variant was the segfaulting compile).
+    ms = np.arange(1, k)
+    dmask = np.array([_digit_mask(k - m, k) for m in ms])      # [k-1, 2]
+    rmask = np.array([_digit_mask(m, k) for m in ms])
+    del_steps = dict(
+        lo_m=jnp.asarray(dmask[:, 0]), hi_m=jnp.asarray(dmask[:, 1]),
+        rlo_m=jnp.asarray(rmask[:, 0]), rhi_m=jnp.asarray(rmask[:, 1]),
+        m=jnp.asarray(ms.astype(np.int32)))
+
+    def del_body(gain, xs):
+        t_flo = (f_lo & ~xs["lo_m"]) | (f_lo1 & xs["lo_m"])
+        t_fhi = (f_hi & ~xs["hi_m"]) | (f_hi1 & xs["hi_m"])
+        t_rlo = (r_lo & xs["rlo_m"]) | (r_lo1 & ~xs["rlo_m"])
+        t_rhi = (r_hi & xs["rhi_m"]) | (r_hi1 & ~xs["rhi_m"])
         t_hi, t_lo = _canon(t_fhi, t_flo, t_rhi, t_rlo)
         ok = valid & valid1
         hit = jnp.where(ok, _member(h1s, h2s, t_hi, t_lo), True)
         # start s contributes to deleted position p = s + m
-        del_gain = del_gain + jnp.pad(
-            hit, ((0, 0), (m, L - Lk - m)),
-            constant_values=True).astype(jnp.int32)
+        return gain + _roll_accum(hit, xs["m"], L), None
+
+    del_gain, _ = jax.lax.scan(del_body, jnp.zeros((B, L), jnp.int32),
+                               del_steps)
     del_ok = (del_gain == k - 1) & (cover_weak > 0) & in_read
 
     # --- insertion of base b before p: novel k-mer at start s = p - m,
@@ -334,40 +360,50 @@ def _indel_scores_block(seqs, lens, h1s, h2s, *, k):
     # digits d < k-1-m from code(s) >> one digit.
     sf_hi, sf_lo = _shift_down(f_hi, f_lo)
     sr_hi, sr_lo = _shift_up(r_hi, r_lo)
+    mi = np.arange(k)
+    ti = k - 1 - mi
+    imask = np.array([_digit_mask(t, k) for t in ti])           # digits < t
+    imask1 = np.array([_digit_mask(t + 1, k) for t in ti])
+    irm = np.array([_digit_mask(m, k) for m in mi])
+    irm1 = np.array([_digit_mask(m + 1, k) for m in mi])
+    fulllo, fullhi = _digit_mask(k, k)
+    ins_steps = dict(
+        lo_m=jnp.asarray(imask[:, 0]), hi_m=jnp.asarray(imask[:, 1]),
+        keep_lo=jnp.asarray((~imask1[:, 0]).astype(np.uint32)),
+        keep_hi=jnp.asarray((~imask1[:, 1]).astype(np.uint32)),
+        f_in_lo=jnp.asarray(ti < 16),
+        f_sh=jnp.asarray(np.where(ti < 16, 2 * ti,
+                                  2 * (ti - 16)).astype(np.uint32)),
+        rlo_m=jnp.asarray(irm[:, 0]), rhi_m=jnp.asarray(irm[:, 1]),
+        nrlo_m1=jnp.asarray((fulllo & ~irm1[:, 0]).astype(np.uint32)),
+        nrhi_m1=jnp.asarray((fullhi & ~irm1[:, 1]).astype(np.uint32)),
+        r_in_lo=jnp.asarray(mi < 16),
+        r_sh=jnp.asarray(np.where(mi < 16, 2 * mi,
+                                  2 * (mi - 16)).astype(np.uint32)),
+        m=jnp.asarray(mi.astype(np.int32)))
+
     best_ins_gain = jnp.zeros((B, L), jnp.int32)
     best_ins_base = jnp.zeros((B, L), jnp.uint8)
     for b in range(4):
-        gain_b = jnp.zeros((B, L), jnp.int32)
-        for m in range(k):
-            t = k - 1 - m
-            lo_m, hi_m = _digit_mask(t, k)          # digits d < t
-            lo_hi_m, hi_hi_m = _digit_mask(t + 1, k)
-            keep_lo = np.uint32(~lo_hi_m & 0xFFFFFFFF)
-            keep_hi = np.uint32(~hi_hi_m & 0xFFFFFFFF)
-            if t < 16:
-                d_lo, d_hi = jnp.uint32(b << (2 * t)), jnp.uint32(0)
-            else:
-                d_lo, d_hi = jnp.uint32(0), jnp.uint32(b << (2 * (t - 16)))
-            t_flo = (f_lo & keep_lo) | d_lo | (sf_lo & lo_m)
-            t_fhi = (f_hi & keep_hi) | d_hi | (sf_hi & hi_m)
+        def ins_body(gain, xs, b=b):
+            d_val = jnp.uint32(b) << xs["f_sh"]
+            d_lo = jnp.where(xs["f_in_lo"], d_val, jnp.uint32(0))
+            d_hi = jnp.where(xs["f_in_lo"], jnp.uint32(0), d_val)
+            t_flo = (f_lo & xs["keep_lo"]) | d_lo | (sf_lo & xs["lo_m"])
+            t_fhi = (f_hi & xs["keep_hi"]) | d_hi | (sf_hi & xs["hi_m"])
             # rc: digits j < m from rc(s); digit m = 3-b; j > m from
             # rc(s) << one digit
-            rlo_m, rhi_m = _digit_mask(m, k)
-            rlo_m1, rhi_m1 = _digit_mask(m + 1, k)
-            if m < 16:
-                rd_lo = jnp.uint32((3 - b) << (2 * m))
-                rd_hi = jnp.uint32(0)
-            else:
-                rd_lo = jnp.uint32(0)
-                rd_hi = jnp.uint32((3 - b) << (2 * (m - 16)))
-            fulllo, fullhi = _digit_mask(k, k)
-            t_rlo = (r_lo & rlo_m) | rd_lo | (sr_lo & fulllo & ~rlo_m1)
-            t_rhi = (r_hi & rhi_m) | rd_hi | (sr_hi & fullhi & ~rhi_m1)
+            rd_val = jnp.uint32(3 - b) << xs["r_sh"]
+            rd_lo = jnp.where(xs["r_in_lo"], rd_val, jnp.uint32(0))
+            rd_hi = jnp.where(xs["r_in_lo"], jnp.uint32(0), rd_val)
+            t_rlo = (r_lo & xs["rlo_m"]) | rd_lo | (sr_lo & xs["nrlo_m1"])
+            t_rhi = (r_hi & xs["rhi_m"]) | rd_hi | (sr_hi & xs["nrhi_m1"])
             t_hi, t_lo = _canon(t_fhi, t_flo, t_rhi, t_rlo)
             hit = jnp.where(valid, _member(h1s, h2s, t_hi, t_lo), True)
-            gain_b = gain_b + jnp.pad(
-                hit, ((0, 0), (m, L - Lk - m)),
-                constant_values=True).astype(jnp.int32)
+            return gain + _roll_accum(hit, xs["m"], L), None
+
+        gain_b, _ = jax.lax.scan(ins_body, jnp.zeros((B, L), jnp.int32),
+                                 ins_steps)
         better = gain_b > best_ins_gain
         best_ins_gain = jnp.where(better, gain_b, best_ins_gain)
         best_ins_base = jnp.where(better, jnp.uint8(b), best_ins_base)

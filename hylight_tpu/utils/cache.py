@@ -53,6 +53,13 @@ def enable_compile_cache(path: str | None = None) -> None:
     import jax
 
     _serialize_compiles()
+    # The test suite disables the on-disk cache entirely: it only pays off
+    # ACROSS processes (the tunnel's minutes-long compiles), the suite is
+    # one process with jit's in-memory cache, and the cache's C++
+    # serialize/deserialize paths were the site of most of the sporadic
+    # long-run segfaults (round-3 W1 / round-4 stabilization).
+    if os.environ.get("HYLIGHT_DISABLE_COMPILE_CACHE") == "1":
+        return
     cache_dir = path or os.environ.get("HYLIGHT_JAX_CACHE", _DEFAULT_DIR)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -22,6 +22,9 @@ from hylight_tpu.utils import cache as hl_cache
 
 def test_concurrent_compiles_with_persistent_cache(tmp_path):
     assert hl_cache._patched, "compile serialization patch not applied"
+    # the suite disables the persistent cache globally (conftest); this
+    # test specifically exercises it, so lift the gate for its scope
+    disable = os.environ.pop("HYLIGHT_DISABLE_COMPILE_CACHE", None)
     hl_cache.enable_compile_cache(str(tmp_path / "cache"))
     # force every compile to hit the persistent cache write path
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -55,5 +58,9 @@ def test_concurrent_compiles_with_persistent_cache(tmp_path):
             list(ex.map(worker, range(4)))
     finally:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        hl_cache.enable_compile_cache(
-            os.environ.get("HYLIGHT_JAX_CACHE", hl_cache._DEFAULT_DIR))
+        try:
+            jax.config.update("jax_compilation_cache_dir", None)
+        except Exception:
+            pass
+        if disable is not None:
+            os.environ["HYLIGHT_DISABLE_COMPILE_CACHE"] = disable
