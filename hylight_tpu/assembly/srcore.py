@@ -226,14 +226,22 @@ def _pe_admission(table: OverlapTable, score_ok: np.ndarray,
     before the first iteration — later superread iterations use VQ's own
     plain two-half rule (EdgeCalculator.cpp:612-632) because superread
     pair sides do not keep the FR layout (the accumulators emit both
-    sides in the iteration's plus frame, and trivial rows unflipped). So
-    with ``fr_pairs=True`` (original reads) the two end-overlaps must
-    imply the SAME relative fragment orientation (rel = strand XOR
-    end(q) XOR end(t); the /2 mate is the fragment's reverse strand) and
-    pair up DISTINCT normalized read ends; with ``fr_pairs=False`` the
-    count>=2 rule applies. (The reference's positional-order test is
-    subsumed for real inserts by the distinct-ends requirement; magnitude
-    is never checked there either.)"""
+    sides in the iteration's plus frame, and trivial rows unflipped).
+
+    With ``fr_pairs=True`` the EXACT find_paired_overlap row semantics
+    apply (golden-diffed in tests/test_sfo2overlaps_golden.py):
+    - paired-paired: a row with normalized end-pair (ea, eb) qualifies
+      iff its read-strand equals ea XOR eb (the only combination
+      consistent with two FR fragments; sfo2overlaps.py:238-255 N needs
+      congruent end order on both sides, I needs opposite) AND the
+      complementary end-pair (1-ea, 1-eb) is present among the bucket's
+      qualifying rows (same ori is then automatic);
+    - paired-single: the two rows must share the read-strand ori, use
+      DISTINCT ends of the paired fragment, and their positions along
+      the single read (the signed left-overhang OHA of the lower-id
+      side, sfo2overlaps.py:256-295) must be strictly ordered
+      congruently with the end order for 'N' and oppositely for 'I';
+    with ``fr_pairs=False`` the count>=2 rule applies."""
     n = len(mate)
     rows = np.arange(n, dtype=np.int64)
     unit = np.where(mate >= 0, np.minimum(rows, mate), rows)
@@ -254,17 +262,44 @@ def _pe_admission(table: OverlapTable, score_ok: np.ndarray,
     pairkey = a * n + b
     uniq, inv = np.unique(pairkey, return_inverse=True)
     if fr_pairs:
-        rel = strand ^ endq ^ endt       # FR convention (original reads)
-        # normalize the end-pair to (lower unit, higher unit) order
-        ea = np.where(qU <= tU, endq, endt)
-        eb = np.where(qU <= tU, endt, endq)
+        q_is_a = qU <= tU                # A = the lower-unit (lower id) side
+        # normalize the end-pair to (A, B) order
+        ea = np.where(q_is_a, endq, endt)
+        eb = np.where(q_is_a, endt, endq)
+        pa = np.where(q_is_a, mate[table.qid] >= 0, mate[table.tid] >= 0)
+        pb = np.where(q_is_a, mate[table.tid] >= 0, mate[table.qid] >= 0)
+
+        # paired-paired: strand must equal ea^eb (FR geometry) and the
+        # complementary end-pair must be present in the bucket
+        both = pa & pb
         epair = ea * 2 + eb
-        # distinct end-pairs present per (unit pair, orientation bit)
-        slot = (inv * 2 + rel) * 4 + epair
+        slot = (inv * 2 + strand) * 4 + epair
         present = np.zeros(len(uniq) * 8, dtype=bool)
-        present[slot[half_ok]] = True
-        n_epairs = present.reshape(-1, 2, 4).sum(axis=2)   # [pairs, rel]
-        unit_ok = (n_epairs >= 2)[inv, rel] & half_ok
+        present[slot[half_ok & both]] = True
+        comp = (inv * 2 + strand) * 4 + (3 - epair)
+        ok_both = both & (strand == (ea ^ eb)) & present[comp] & half_ok
+
+        # paired-single: same ori, distinct paired-side ends, strict
+        # position order along the single read (OHA comparator)
+        one = pa ^ pb
+        e1 = np.where(pa, ea, eb)        # paired-side end bit
+        # signed left overhang of A in the A-first alignment frame
+        ts_a = np.where(strand == 1, table.tlen - table.te, table.ts)
+        qs_a = np.where(strand == 1, table.qlen - table.qe, table.qs)
+        oha = np.where(q_is_a, table.qs - ts_a, table.ts - qs_a)
+        grp = (inv * 2 + strand) * 2 + e1
+        NEG, POS = np.int64(-1 << 60), np.int64(1 << 60)
+        gmax = np.full(len(uniq) * 4, NEG)
+        gmin = np.full(len(uniq) * 4, POS)
+        m1 = half_ok & one
+        np.maximum.at(gmax, grp[m1], oha[m1])
+        np.minimum.at(gmin, grp[m1], oha[m1])
+        oppo = (inv * 2 + strand) * 2 + (1 - e1)
+        want_greater = strand == e1      # N/end0 and I/end1 need a later
+        ok_one = one & m1 & np.where(    # partner; the others an earlier one
+            want_greater, gmax[oppo] > oha, gmin[oppo] < oha)
+
+        unit_ok = ok_both | ok_one
     else:
         cnt = np.bincount(inv[half_ok], minlength=len(uniq))
         unit_ok = (cnt[inv] >= 2) & half_ok
