@@ -4,12 +4,17 @@ Reimplements the strain-separation core of the reference's overlap filter
 (``filter_overlap_slr2.py``: ``prpare_mutation2()`` ``:289-367``,
 ``mutation_re()`` ``:370-405``, kill rule ``:90-100``):
 
-- every mismatch column of every overlap votes "variant support" for BOTH
-  sides' (read, position) columns (the reference re-parses --eqx CIGAR text
-  for this; here the extend stage already emitted the columns — no CIGARs);
+- every mismatch RUN of every overlap votes "variant support" for BOTH
+  sides' (read, position) columns at the run's last-in-alignment column
+  (the reference parses --eqx CIGARs, where an n-base X operation is one
+  event keyed by its cumulative end position, :340-360; here the extend
+  stage emitted per-column events — maximal runs of alignment-adjacent
+  columns are collapsed to their final column to match);
 - a column is a REAL SNP iff >= mc overlaps support the variant AND
   >= mc overlaps span the column agreeing with the read (contradiction =
-  strict-interior coverage minus support);
+  strict-interior coverage minus support; the reference's interior test
+  ``p[0] < pos < p[1]`` on end-of-run keys = columns [start, end-2] in
+  0-based coordinates, :382-392);
 - long-read mode: an overlap is killed when its real-SNP events per matched
   base exceed ``max_snp_frac`` (0.0025); short-read mode kills on ANY
   real-SNP event (reference ``:97-100``).
@@ -37,7 +42,21 @@ def snp_filter(table: OverlapTable, *, mc: int, max_frac: float,
         return np.zeros(0, dtype=bool)
     assert table.mm_q is not None, "table lacks mismatch columns"
 
-    mask = table.mm_mask
+    # Collapse maximal runs of adjacent mismatch columns to the run's
+    # CIGAR-walk end column (the reference counts an n-base X op once, at
+    # its cumulative end position).  Event slots are in q-ascending order
+    # (extend's emission frame); a run steps q by +1 and forward-frame t by
+    # +1 on '+' rows / -1 on '-' rows.  The CIGAR walks target-forward, so
+    # its run END is the last slot on '+' rows but the FIRST slot on '-'
+    # rows (where q-ascending is the reverse of the walk).
+    mask = np.asarray(table.mm_mask).copy()
+    minus = (np.asarray(table.strand) == 1)[:, None]
+    tstep = np.where(minus, -1, 1)
+    cont = (mask[:, 1:] & mask[:, :-1]
+            & (table.mm_q[:, 1:] == table.mm_q[:, :-1] + 1)
+            & (table.mm_t[:, 1:] == table.mm_t[:, :-1] + tstep))
+    mask[:, :-1] &= ~(cont & ~minus)
+    mask[:, 1:] &= ~(cont & minus)
     oidx = np.broadcast_to(np.arange(O, dtype=np.int64)[:, None], mask.shape)
 
     # events: (overlap, read, pos) for both sides of each mismatch column
@@ -62,8 +81,8 @@ def snp_filter(table: OverlapTable, *, mc: int, max_frac: float,
     iv_read = np.concatenate([table.qid, table.tid]).astype(np.int64)
     iv_s = np.concatenate([table.qs, table.ts]).astype(np.int64)
     iv_e = np.concatenate([table.qe, table.te]).astype(np.int64)
-    lo = np.searchsorted(cols, iv_read * M + iv_s + 1, side="left")
-    hi = np.searchsorted(cols, iv_read * M + iv_e - 1, side="right")
+    lo = np.searchsorted(cols, iv_read * M + iv_s, side="left")
+    hi = np.searchsorted(cols, iv_read * M + iv_e - 2, side="right")
     diff = np.zeros(len(cols) + 1, dtype=np.int64)
     np.add.at(diff, lo, 1)
     np.add.at(diff, hi, -1)
