@@ -67,13 +67,12 @@ def config_from_args(a) -> Config:
                               # matmul pair finding; raw high-error input
                               # keeps the exact global-sort join
                               seed_mode="sort" if a.low_q else "mxu",
-                              # raw reads: inter-anchor gaps are frequent
-                              # and indel-rich — keep the link budgets wide
-                              # so identity stays measured, not extrapolated
-                              gap_tile_small=16 if a.low_q else 8,
-                              gap_links_eq_small=96 if a.low_q else 64,
-                              gap_links_eq_large=48 if a.low_q else 16,
-                              gap_links_indel=64 if a.low_q else 16),
+                              # raw reads: indels fragment chains into many
+                              # constant-diagonal runs — widen the dense
+                              # verify budgets so identity stays measured,
+                              # not extrapolated
+                              verify_segments=16 if a.low_q else 4,
+                              verify_event_words=96 if a.low_q else 64),
         # HyLight feeds --max_tip_len to miniasm -d, which IS the
         # bubble-popping distance (main.c:51,90; SURVEY.md §2.2)
         layout=LayoutConfig(max_tip_len=a.max_tip_len,

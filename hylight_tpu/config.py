@@ -44,16 +44,14 @@ class OverlapConfig:
     max_overlaps_per_read: int = 60  # cap (filter_trans_ovlp_inline_v4.py:74-83)
     overhang_ratio: float = 0.8 # Algorithm-5 internal-match test (r in minimap paper)
     max_overhang: int = 1000    # max allowed overhang in bases (Algorithm 5)
-    gap_tile: int = 64          # banded-DP tile for inter-anchor gaps
-    max_indel_band: int = 8     # banded-DP half-width for indel-gap verify
-    #                             (0 disables; larger indels use the estimate)
-    # per-pair link budgets for gap verification (extend.extend_chains
-    # tiers). Corrected-read defaults; cli.py raises them for --low_q raw
-    # reads (w=5), where inter-anchor gaps are frequent and large.
-    gap_tile_small: int = 8     # small-tile width for short equal gaps
-    gap_links_eq_small: int = 64   # equal-gap links verified at the small tile
-    gap_links_eq_large: int = 16   # equal-gap links verified at gap_tile
-    gap_links_indel: int = 16      # indel links verified by the banded DP
+    gap_tile: int = 64          # consensus-vote gap tile (ops/consensus.py)
+    # dense diagonal verify budgets (extend.extend_chains): a chain is
+    # verified as up to verify_segments maximal constant-diagonal anchor
+    # runs (whole-span SWAR compare per run); columns between/beyond them
+    # fall back to the calibrated estimate. cli.py raises the budgets for
+    # --low_q raw reads, where indels fragment chains into many runs.
+    verify_segments: int = 4       # diagonal-run budget K per chain
+    verify_event_words: int = 64   # mismatch-event word budget E (8 cols/word)
     seed_mode: str = "sort"     # "sort": global-sort self-join (exact
     #                             minimap2 anchor multiset; works on raw
     #                             high-error reads). "mxu": matmul pair

@@ -269,7 +269,11 @@ def polish_contigs(contigs: ReadSet, reads: ReadSet, *, cfg: OverlapConfig,
     with snp_long=False for the SR round per :200) and BLOCKS the killed
     (read, contig) pairs from voting — wrong-strain reads never polish a
     contig (the strain separation the reference gets by feeding racon the
-    filtered PAF)."""
+    filtered PAF).  The gate is an ALLOW-list: only (read, contig)
+    mappings that exist in the filtered mapping pass AND survive the SNP
+    filter may vote — a wrong-strain read whose mapping never passes that
+    pass's admission cannot slip into the vote loop through the weaker
+    maplen-only chain test (advisor r4)."""
     for _ in range(max(rounds, 0)):
         contigs = _polish_round(contigs, reads, cfg=cfg,
                                 query_block=query_block,
@@ -296,9 +300,9 @@ def _polish_round(contigs: ReadSet, reads: ReadSet, *, cfg: OverlapConfig,
     from hylight_tpu.overlap.engine import bucket_len
 
     # strain-aware gate: map reads->contigs with mismatch events, run the
-    # cross-strain SNP filter, and remember the killed (read, contig)
-    # pairs — their votes are suppressed in the block loop below
-    killed_keys: Optional[np.ndarray] = None
+    # cross-strain SNP filter, and keep the ALLOW-list of surviving
+    # (read, contig) pairs — only those may vote in the block loop below
+    allowed_keys: Optional[np.ndarray] = None
     n_contigs_key = contigs.n
     if snp_mc is not None:
         from dataclasses import replace as _dc_replace
@@ -308,17 +312,18 @@ def _polish_round(contigs: ReadSet, reads: ReadSet, *, cfg: OverlapConfig,
                              min_identity=min_identity)
         t_map = find_overlaps(reads, contigs, cfg=oc_map,
                               query_block=query_block, cap_overlaps=False)
+        keep = np.zeros(0, dtype=bool)
         if t_map.n:
             keep = snp_filter_mapped(t_map, n_query_ids=reads.n, mc=snp_mc,
                                      max_frac=snp_max_frac,
                                      long_reads=snp_long)
-            if not keep.all():
-                killed_keys = np.unique(
-                    t_map.qid[~keep].astype(np.int64) * n_contigs_key
-                    + t_map.tid[~keep])
-                log.info("[C::polish] snp filter kills %d/%d read->contig "
-                         "mappings (mc=%d)", int((~keep).sum()), t_map.n,
-                         snp_mc)
+        allowed_keys = np.unique(
+            t_map.qid[keep].astype(np.int64) * n_contigs_key
+            + t_map.tid[keep])
+        if t_map.n and not keep.all():
+            log.info("[C::polish] snp filter kills %d/%d read->contig "
+                     "mappings (mc=%d)", int((~keep).sum()), t_map.n,
+                     snp_mc)
     nq, nt = reads.n, contigs.n
     # reads and contigs get SEPARATE padded matrices (150 bp polishing
     # reads must not inflate to the contig length bucket); the vote kernel
@@ -383,15 +388,15 @@ def _polish_round(contigs: ReadSet, reads: ReadSet, *, cfg: OverlapConfig,
                            max_gap=cfg.max_gap)
         maplen = jnp.maximum(ch.qe - ch.qs, ch.te - ch.ts)
         valid = ch.valid & (maplen >= min_len)
-        if killed_keys is not None and killed_keys.size:
-            # suppress cross-strain votes: small [P] host fetch per block
+        if allowed_keys is not None:
+            # allow-list gate: small [P] host fetch per block
             key = (np.asarray(ch.qid).astype(np.int64) * n_contigs_key
                    + (np.asarray(ch.tid) - t_off_row))
-            bad = np.zeros(len(key), dtype=bool)
-            pos = np.searchsorted(killed_keys, key)
-            inr = pos < len(killed_keys)
-            bad[inr] = killed_keys[pos[inr]] == key[inr]
-            valid = valid & jnp.asarray(~bad)
+            ok = np.zeros(len(key), dtype=bool)
+            pos = np.searchsorted(allowed_keys, key)
+            inr = pos < len(allowed_keys)
+            ok[inr] = allowed_keys[pos[inr]] == key[inr]
+            valid = valid & jnp.asarray(ok)
         votes, cov_diff, ins_votes, del_votes = _vote_kernel(
             ch, seqs, tseqs_d, votes, cov_diff, ins_votes, del_votes,
             t_offsets_d, t_off_row, valid, k=cfg.k, gap_tile=cfg.gap_tile)

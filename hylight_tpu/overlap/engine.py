@@ -197,29 +197,41 @@ def find_overlaps(reads: ReadSet, targets: Optional[ReadSet] = None, *,
     NA = lens_d.shape[0] if ava else nq      # padded ava row count
     if ava and _self_join_ok(NA, Lq, mcap, cfg.seed_mode):
         P_all = pairs_per_block or _round_up(NA * 24, 256)
-        if cfg.seed_mode == "mxu" and Lq < (1 << 15):
-            from hylight_tpu.overlap.seed_mxu import mxu_candidates
-            cand = mxu_candidates(
-                ms_all, lens_d.astype(jnp.int32), bandwidth=64,
-                min_anchors=cfg.min_anchors, max_pairs=P_all,
-                anchors_per_pair=A, max_occ=cfg.max_occ, k=cfg.k,
-                n_reads=NA, max_len=Lq,
-                bucket_bits=cfg.mxu_bucket_bits, margin=cfg.mxu_margin)
-        else:
-            # right-size the join fan-out to the longest surviving hash
-            # run (bucketed to powers of two so compiles are reused):
-            # deep max_occ settings otherwise pay for empty roll layers
-            D = int(_max_run_len(index.hash, index.tid2s))
-            join_occ = 2
-            while join_occ < min(max(D, 2), cfg.max_occ):
-                join_occ *= 2
-            join_occ = min(join_occ, cfg.max_occ)
-            cand = seed_mod.self_join_candidates(
-                index, lens_d.astype(jnp.int32),
-                bandwidth=_ava_bandwidth(Lq),
-                min_anchors=cfg.min_anchors, max_pairs=P_all,
-                anchors_per_pair=A, max_occ=cfg.max_occ, k=cfg.k,
-                n_reads=NA, max_len=Lq, join_occ=join_occ)
+        for _attempt in range(2):
+            if cfg.seed_mode == "mxu" and Lq < (1 << 15):
+                from hylight_tpu.overlap.seed_mxu import mxu_candidates
+                cand = mxu_candidates(
+                    ms_all, lens_d.astype(jnp.int32), bandwidth=64,
+                    min_anchors=cfg.min_anchors, max_pairs=P_all,
+                    anchors_per_pair=A, max_occ=cfg.max_occ, k=cfg.k,
+                    n_reads=NA, max_len=Lq,
+                    bucket_bits=cfg.mxu_bucket_bits, margin=cfg.mxu_margin)
+            else:
+                # right-size the join fan-out to the longest surviving hash
+                # run (bucketed to powers of two so compiles are reused):
+                # deep max_occ settings otherwise pay for empty roll layers
+                D = int(_max_run_len(index.hash, index.tid2s))
+                join_occ = 2
+                while join_occ < min(max(D, 2), cfg.max_occ):
+                    join_occ *= 2
+                join_occ = min(join_occ, cfg.max_occ)
+                cand = seed_mod.self_join_candidates(
+                    index, lens_d.astype(jnp.int32),
+                    bandwidth=_ava_bandwidth(Lq),
+                    min_anchors=cfg.min_anchors, max_pairs=P_all,
+                    anchors_per_pair=A, max_occ=cfg.max_occ, k=cfg.k,
+                    n_reads=NA, max_len=Lq, join_occ=join_occ)
+            nw = int(cand.n_winners)
+            if nw <= P_all:
+                break
+            # overflow would truncate pairs in flat row-major order (the
+            # mxu path would drop ALL candidates of high-qid reads):
+            # retry once at a bucketed cap sized from the exact count
+            stats.pair_overflows += 1
+            P_new = _round_up(nw, 4096)
+            log.warning("self-join block: %d candidate pairs > cap %d; "
+                        "retrying at cap %d", nw, P_all, P_new)
+            P_all = P_new
         ch = refine_chains(cand, k=cfg.k, min_score=cfg.min_chain_score,
                            max_gap=cfg.max_gap)
         ext = extend_chains(ch, seqs_d, max_mismatch=snp_cap,
@@ -230,13 +242,8 @@ def find_overlaps(reads: ReadSet, targets: Optional[ReadSet] = None, *,
             max_overhang=cfg.max_overhang,
             overhang_ratio=cfg.overhang_ratio)
         table = _materialize(ch, ext, sc, 0)
-        nw = int(cand.n_winners)
         stats.blocks += 1
         stats.candidate_pairs += nw
-        if nw > P_all:
-            stats.pair_overflows += 1
-            log.warning("self-join block: %d candidate pairs > cap %d "
-                        "(some dropped; raise pairs_per_block)", nw, P_all)
         table = _dedup_best_per_pair(table)
         if cap_overlaps and table.n > 0:
             keep = cap_per_read(table.qid, table.tid, table.score,

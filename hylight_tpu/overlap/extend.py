@@ -1,33 +1,44 @@
-"""Anchor-skeleton extension: base-level verification of chained overlaps.
+"""Dense diagonal verification of chained overlaps (gather-free extend).
 
-The reference obtains per-base overlap info by having minimap2 produce full
-``--eqx`` CIGARs which are then re-parsed in Python (SNP scan
-``filter_overlap_slr2.py:289-367``, identity/score rescoring ``:142-152``).
-Here the chain's exact k-mer anchors already pin the alignment skeleton, so
-base-level work reduces to verifying the short inter-anchor gaps:
+The reference obtains per-base overlap info from minimap2 ``--eqx`` CIGARs
+re-parsed in Python (``filter_overlap_slr2.py:289-367`` SNP scan,
+``:142-152`` rescoring).  The tile-based extend (rounds 1-4) verified only
+inter-anchor gap windows, but its per-link window gathers dominate the
+block on TPU: element gathers cost ~7-10 ms per million on v5e while row
+gathers and elementwise work are practically free (tools/micro_peak.py).
 
-- equal-size gaps (dq == dt): pure substitution columns — direct vectorized
-  base compare gives matches AND the mismatch coordinates the SNP filter
-  needs (no CIGAR text ever exists, per SURVEY.md §7.4);
-- unequal gaps (contain indels): verified by a banded LCS-style DP when the
-  shift |dq-dt| fits the band (``max_indel_band``) and both gap sides fit
-  the gap tile. The DP runs in off-diagonal coordinates: row i holds
-  r[off] = best matches aligning q-gap[:i] with t-gap[:i+off]; the
-  intra-row left-to-right propagation of the LCS recurrence is exactly a
-  cummax over the band axis, so one ``lax.scan`` step is two elementwise
-  maxes plus a W-lane cummax — no scatter, no antidiagonal bookkeeping.
-  Gaps outside the band budget fall back to the calibrated estimate
-  (min(gq, gt) columns unverified, |gq-gt| indel bases);
-- anchor k-mers: exact matches by construction (chain score bases).
+This implementation verifies every column of the overlap with NO
+per-element gathers:
 
-Identity estimate: verified-match rate extrapolated over unverified columns,
-discounted by indel bases:
-  id = (m_v + u * m_v / c_v) / (c_v + u + g)
-where m_v/c_v = verified matches/columns, u = unverified columns, g = indels.
+1. fetch BOTH reads' nibble-packed rows with contiguous ROW gathers;
+2. strand-adjust the target row in word space (SWAR nibble reverse +
+   complement + row flip);
+3. split the chain into SEGMENTS = maximal runs of anchors sharing one
+   diagonal d = at - aq (inside a run every inter-anchor gap is an
+   equal-size substitution gap, so the whole q-span [aq_first,
+   aq_last + k) aligns column-for-column at offset d);
+4. for each of the first K segments, LEFT-ROLL the adjusted target row by
+   its diagonal (3 base-level funnel stages + log2(Wn) word-level pow2
+   stages — per-row dynamic rolls are cheap, ~6 ms at [16K, 1024]) and
+   compare nibbles SWAR-style: matches, mismatches, and N columns are
+   per-word popcounts;
+5. columns between segments (the indel gaps), beyond the K-segment
+   budget, or in partial edge words of the event map fall back to the
+   calibrated estimate: ``unverified`` columns + ``indels = sum |delta
+   diag|``, exactly like the tile path's out-of-budget accounting;
+6. mismatch EVENTS (for the SNP pileup) compact in two keyed sorts:
+   event words (key packs word index + relative diagonal, payloads are
+   the q word and a sentinel-masked t word so eligibility reconstructs
+   from the words alone), then event columns (payloads pack coords+bases)
+   — no take_along gathers anywhere.
 
-Mismatch (candidate SNP) events are emitted as [P, S] coordinate pairs in
-FORWARD coordinates of both reads — directly consumable by the pileup-based
-cross-strain filter (snp.py).
+Identity estimate (same contract as extend.py):
+  id = (m_v + u * m_v / c_v) / (c_v + u + g).
+
+Events beyond the ``event_words`` word budget or in words shared by two
+segments are dropped from the EMITTED coordinate set but still counted in
+``mm_n`` (the SNP filter can only under-kill — same conservative direction
+as the tile path's cap, documented there).
 """
 
 from __future__ import annotations
@@ -41,382 +52,326 @@ import numpy as np
 
 from hylight_tpu.overlap.chain import Chains
 
-INT_MAX = np.int32(0x7FFFFFFF)
-
 
 class Extensions(NamedTuple):
-    matches: jax.Array      # int32 [P] verified matching columns (incl anchors)
+    matches: jax.Array      # int32 [P] verified matching columns
     columns: jax.Array      # int32 [P] verified columns
     unverified: jax.Array   # int32 [P] aligned columns not base-checked
-    indels: jax.Array       # int32 [P] |dq-dt| summed over links
+    indels: jax.Array       # int32 [P] |delta diag| summed over anchor links
     identity: jax.Array     # float32 [P] extrapolated identity estimate
     mm_q: jax.Array         # int32 [P, S] mismatch column qpos (fwd coords)
     mm_t: jax.Array         # int32 [P, S] mismatch column tpos (fwd coords)
     mm_qb: jax.Array        # int8 [P, S] query base at the column
     mm_tb: jax.Array        # int8 [P, S] target base at the column
-    mm_n: jax.Array         # int32 [P] mismatch count (may exceed S; capped)
-    mm_mask: jax.Array      # bool [P, S]
-
-
-def _gather_q(seqs, qid, pos, in_bounds):
-    idx = jnp.clip(pos, 0, seqs.shape[1] - 1)
-    return jnp.where(in_bounds, seqs[qid, idx], 4)
-
-
-def _gather_t(seqs, tid, pos, strand, tlen, in_bounds):
-    """Base of target read at strand-adjusted position (4 outside/N)."""
-    fwd = jnp.where(strand[..., None] == 1, tlen[..., None] - 1 - pos, pos)
-    idx = jnp.clip(fwd, 0, seqs.shape[1] - 1)
-    b = seqs[tid, idx]
-    b = jnp.where((strand[..., None] == 1) & (b < 4), 3 - b, b)
-    return jnp.where(in_bounds & (fwd >= 0) & (fwd < seqs.shape[1]), b, 4)
-
-
-_NIBBLE_SENTINEL = np.int32(0x44444444)   # 8 packed 'N' bases
-
-
-def _pack_nibbles(seqs: jax.Array, pad_words: int) -> jax.Array:
-    """Pack a [N, L] base matrix (values 0..4+) into int32 nibble words,
-    8 bases per word, with ``pad_words`` sentinel words on both sides.
-
-    Elementwise gathers of small elements are the overlap block's dominant
-    cost on TPU (~160 ms per 8.4M u8 gather at bench scale); gap windows
-    are CONTIGUOUS spans, so fetching whole nibble words cuts the gather
-    count 8x and the rest is VPU shifts."""
-    N, L = seqs.shape
-    Wn = (L + 7) // 8
-    s = jnp.minimum(seqs, 4).astype(jnp.int32)
-    s = jnp.pad(s, ((0, 0), (0, Wn * 8 - L)), constant_values=4)
-    s = s.reshape(N, Wn, 8)
-    sh = (jnp.arange(8, dtype=jnp.int32) * 4)[None, None, :]
-    packed = jnp.sum(s << sh, axis=-1).astype(jnp.int32)
-    return jnp.pad(packed, ((0, 0), (pad_words, pad_words)),
-                   constant_values=_NIBBLE_SENTINEL)
-
-
-def _extract_windows(packed: jax.Array, rid: jax.Array, start: jax.Array,
-                     G: int, pad_bases: int) -> jax.Array:
-    """[*, G] int32 base values (0..4) at forward columns start..start+G-1.
-
-    ``packed`` is a _pack_nibbles matrix whose column 0 is base index
-    ``-pad_bases``; ``start`` may be negative down to -pad_bases and large
-    up to L + pad_bases - G."""
-    W = ((G + 6) >> 3) + 1
-    s = start + pad_bases
-    w0 = s >> 3
-    off = s & 7
-    widx = jnp.arange(W, dtype=jnp.int32)
-    words = packed[rid[..., None], w0[..., None] + widx]      # [..., W]
-    j = jnp.arange(G, dtype=jnp.int32)
-    t = off[..., None] + j                                     # [..., G]
-    wsel = t >> 3
-    val = jnp.zeros(t.shape, jnp.int32)
-    for w in range(W):
-        val = val | jnp.where(wsel == w, words[..., w][..., None], 0)
-    return (val >> ((t & 7) * 4)) & 15
-
-
-def _gap_windows(qpacked, tpacked, qid, tid_row, strand, tlen, aq_s, at_s, *,
-                 k: int, G: int, pad_bases: int):
-    """Fetch the [P, AG, G] query/target gap windows from nibble-packed
-    matrices. Query columns q0 = aq_s + k + j ascend in the read; the
-    target's strand-adjusted columns map to a contiguous forward span too
-    (reversed for '-' rows), so one extraction + flip + complement serves
-    both strands."""
-    q_all = _extract_windows(qpacked, qid[:, None], aq_s + k, G, pad_bases)
-
-    t0 = at_s + k                                    # adjusted-frame start
-    minus = strand[:, None] == 1
-    fwd_start = jnp.where(minus, tlen[:, None] - G - t0, t0)
-    t_raw = _extract_windows(tpacked, tid_row[:, None], fwd_start, G,
-                             pad_bases)
-    t_rev = jnp.flip(t_raw, axis=-1)
-    t_rev = jnp.where(t_rev < 4, 3 - t_rev, t_rev)
-    return q_all, jnp.where(minus[..., None], t_rev, t_raw)
-
-
-def _banded_gap_matches(qgap: jax.Array, tgap: jax.Array, dmax: int
-                        ) -> jax.Array:
-    """Max matches (banded LCS) between per-link gap strings.
-
-    Args:
-      qgap: uint8 [..., G] query-gap bases, sentinel-padded (>=4) past the
-        real length.
-      tgap: uint8 [..., G] target-gap bases, sentinel-padded with a
-        DIFFERENT sentinel so padding never matches.
-      dmax: band half-width (covers indel shifts |gq-gt| <= dmax).
-
-    Returns int32 [...] match count of the best banded alignment. Both
-    strings being padded to the same length G makes the answer land in the
-    centre lane: LCS(q_pad, t_pad) = LCS(q, t) since sentinels match
-    nothing and LCS charges nothing for indels.
-    """
-    G = qgap.shape[-1]
-    W = 2 * dmax + 1
-    NEG = jnp.int32(-(1 << 28))
-    lead = qgap.shape[:-1]
-
-    # pad t so a [W]-window gather at j = i-1+off is always in range
-    tpad = jnp.pad(tgap, [(0, 0)] * (len(lead)) + [(dmax, dmax + 1)],
-                   constant_values=255)
-    offs = jnp.arange(W, dtype=jnp.int32) - dmax      # off in [-dmax, dmax]
-
-    # r0[off] = 0 for off >= 0 (empty query vs t-prefix), else invalid
-    r0 = jnp.where(offs >= 0, 0, NEG)
-    r0 = jnp.broadcast_to(r0, lead + (W,)).astype(jnp.int32)
-
-    def step(r, i):
-        # i is 1-based row index; a_i = qgap[i-1], b at j = (i-1) + off
-        a_i = jax.lax.dynamic_slice_in_dim(qgap, i - 1, 1, axis=-1)
-        b_w = jax.lax.dynamic_slice_in_dim(tpad, i - 1, W, axis=-1)
-        eq = ((a_i == b_w) & (a_i < 4) & (b_w < 4)).astype(jnp.int32)
-        # m[i-1, j]: same j means off+1 in row i's coordinates
-        up = jnp.concatenate([r[..., 1:],
-                              jnp.full(lead + (1,), NEG, jnp.int32)], -1)
-        base = jnp.maximum(r + eq, up)
-        # j = i + off must be >= 0
-        valid = (jnp.int32(i) + offs) >= 0
-        base = jnp.where(valid, base, NEG)
-        # m[i, j-1] propagation == cummax along the band axis
-        r_new = jax.lax.cummax(base, axis=base.ndim - 1)
-        return r_new, None
-
-    rG, _ = jax.lax.scan(step, r0, jnp.arange(1, G + 1, dtype=jnp.int32))
-    return jnp.maximum(rG[..., dmax], 0)
-
-
-def _verify_eq_tier(qpacked, tpacked, ch, tid_row, aq_s, at_s, gap_s, ok_s,
-                    *, k: int, G: int, pad_bases: int):
-    """Window-gather + direct compare for ONE tier of EQUAL-gap links.
-
-    Equal gaps (dq == dt) are pure substitution columns: no DP, no suffix
-    machinery — just fetch both windows and compare. Inputs are [P, AG]-
-    compacted link arrays; returns (matches_add, ver_cols_add, n_cols,
-    mm event tuple).
-    """
-    P = aq_s.shape[0]
-    j = jnp.arange(G, dtype=jnp.int32)[None, None, :]
-    incol = (j < jnp.minimum(gap_s, G)[..., None]) & ok_s[..., None]
-    q_raw, t_raw = _gap_windows(qpacked, tpacked, ch.qid, tid_row,
-                                ch.strand, ch.tlen, aq_s, at_s,
-                                k=k, G=G, pad_bases=pad_bases)
-    qb = jnp.where(incol, q_raw, 4)
-    tb = jnp.where(incol, t_raw, 4)
-
-    both_acgt = (qb < 4) & (tb < 4) & incol
-    eq = both_acgt & (qb == tb)
-    mm = both_acgt & (qb != tb)
-
-    ver_cols = jnp.sum(both_acgt, axis=(1, 2)).astype(jnp.int32)
-    matches = jnp.sum(eq, axis=(1, 2)).astype(jnp.int32)
-    n_cols = jnp.sum(incol & ~both_acgt, axis=(1, 2)).astype(jnp.int32)
-    q0 = (aq_s + k)[..., None] + j
-    t0 = (at_s + k)[..., None] + j
-    return matches, ver_cols, n_cols, (
-        mm.reshape(P, -1), q0.reshape(P, -1), t0.reshape(P, -1),
-        qb.reshape(P, -1), tb.reshape(P, -1))
-
-
-def _verify_indel_tier(qpacked, tpacked, ch, tid_row, aq_s, at_s,
-                       gq_s, gt_s, ver_s, *, k: int, G: int,
-                       pad_bases: int, max_indel_band: int):
-    """Banded LCS DP + single-indel suffix mismatch scan for INDEL links.
-
-    Only links with dq != dt reach this tier, so the DP scan runs over the
-    (small) indel link budget instead of every selected link — equal-gap
-    verification never pays for the scan (round-4 split; previously both
-    tiers ran the DP over their full width).
-    """
-    P = aq_s.shape[0]
-    j = jnp.arange(G, dtype=jnp.int32)[None, None, :]
-    inq = (j < gq_s[..., None]) & ver_s[..., None]
-    int_ = (j < gt_s[..., None]) & ver_s[..., None]
-    q_raw, t_raw = _gap_windows(qpacked, tpacked, ch.qid, tid_row,
-                                ch.strand, ch.tlen, aq_s, at_s,
-                                k=k, G=G, pad_bases=pad_bases)
-    qgap = jnp.where(inq, q_raw, 4)
-    tgap = jnp.where(int_, t_raw, 4)
-
-    band = min(max_indel_band, G)
-    m_u = _banded_gap_matches(qgap, tgap, band)        # [P, AG]
-    matches = jnp.sum(jnp.where(ver_s, m_u, 0), axis=1).astype(jnp.int32)
-    ver_cols = jnp.sum(
-        jnp.where(ver_s, jnp.minimum(gq_s, gt_s), 0), axis=1
-    ).astype(jnp.int32)
-
-    # single-indel suffix model: see extend_chains docstring
-    delta = (gq_s - gt_s)[..., None]
-    scan_m = (j < jnp.minimum(gq_s, gt_s)[..., None])
-    both_g = (qgap < 4) & (tgap < 4)
-    difm = (qgap != tgap) & both_g & scan_m
-    has_d = jnp.any(difm, axis=-1)
-    p_star = jnp.where(has_d, jnp.argmax(difm, axis=-1),
-                       jnp.minimum(gq_s, gt_s)).astype(jnp.int32)
-    jt = j - delta
-    t0s = at_s + k - (gq_s - gt_s)
-    minus2 = ch.strand[:, None] == 1
-    fwd_start2 = jnp.where(minus2, ch.tlen[:, None] - G - t0s, t0s)
-    tb2_raw = _extract_windows(tpacked, tid_row[:, None], fwd_start2,
-                               G, pad_bases)
-    tb2_rev = jnp.flip(tb2_raw, axis=-1)
-    tb2_rev = jnp.where(tb2_rev < 4, 3 - tb2_rev, tb2_rev)
-    tb2 = jnp.where(minus2[..., None], tb2_rev, tb2_raw)
-    suff = ver_s[..., None] & \
-        (j >= (p_star[..., None] + jnp.maximum(delta, 0))) & \
-        (j < gq_s[..., None]) & (jt >= 0) & (jt < gt_s[..., None])
-    mm2 = suff & (qgap < 4) & (tb2 < 4) & (qgap != tb2)
-    q0 = (aq_s + k)[..., None] + j
-    t0_suffix = (at_s + k)[..., None] + j - delta
-    return matches, ver_cols, jnp.zeros_like(matches), (
-        mm2.reshape(P, -1), q0.reshape(P, -1), t0_suffix.reshape(P, -1),
-        qgap.reshape(P, -1), tb2.reshape(P, -1))
+    mm_n: jax.Array         # int32 [P] mismatch count (exact; may exceed S)
+    mm_mask: jax.Array      # bool [P, S] emitted-event slots
 
 
 def extend_kwargs(cfg) -> dict:
-    """The OverlapConfig-driven static kwargs of extend_chains (tier
-    budgets + tile sizes), for call sites that thread a config through."""
-    return dict(k=cfg.k, gap_tile=cfg.gap_tile,
-                max_indel_band=cfg.max_indel_band,
-                gap_tile_small=cfg.gap_tile_small,
-                links_eq_small=cfg.gap_links_eq_small,
-                links_eq_large=cfg.gap_links_eq_large,
-                links_indel=cfg.gap_links_indel)
+    """The OverlapConfig-driven static kwargs of extend_chains, for call
+    sites that thread a config through."""
+    return dict(k=cfg.k, segments=cfg.verify_segments,
+                event_words=cfg.verify_event_words)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "gap_tile", "max_mismatch",
-                                              "max_indel_band",
-                                              "gap_tile_small",
-                                              "links_eq_small",
-                                              "links_eq_large",
-                                              "links_indel"))
-def extend_chains(ch: Chains, seqs: jax.Array, *, k: int, gap_tile: int,
-                  max_mismatch: int, max_indel_band: int = 8,
-                  gap_tile_small: int = 8, links_eq_small: int = 64,
-                  links_eq_large: int = 16, links_indel: int = 16,
-                  seqs_t: Optional[jax.Array] = None,
-                  toff=0) -> Extensions:
-    """Verify inter-anchor gaps of every chained pair.
+_M1 = np.uint32(0x11111111)   # per-nibble lsb
+_M3 = np.uint32(0x33333333)
+_BIG = np.int32(0x40000000)
+_DGR_SPAN = 4096              # |relative diagonal| cap for emitted events
+
+
+def pack_rows(seqs: jax.Array) -> jax.Array:
+    """[N, L] base matrix (0..4+) -> [N, ceil(L/8)] uint32 nibble words,
+    base j of row r at bits 4*(j%8) of word j//8; pad nibbles are 4."""
+    N, L = seqs.shape
+    Wn = (L + 7) // 8
+    s = jnp.minimum(seqs, 4).astype(jnp.uint32)
+    s = jnp.pad(s, ((0, 0), (0, Wn * 8 - L)), constant_values=4)
+    s = s.reshape(N, Wn, 8)
+    sh = (jnp.arange(8, dtype=jnp.uint32) * 4)[None, None, :]
+    return jnp.sum(s << sh, axis=-1).astype(jnp.uint32)
+
+
+def _revcomp_rows(x: jax.Array) -> jax.Array:
+    """Reverse-complement packed rows in the PADDED frame: output base j is
+    the complement of input base (Wn*8-1-j); sentinel nibbles (>=4) kept."""
+    # nibble-reverse within each word
+    x = ((x & jnp.uint32(0x0F0F0F0F)) << 4) | ((x >> 4) & jnp.uint32(0x0F0F0F0F))
+    x = ((x & jnp.uint32(0x00FF00FF)) << 8) | ((x >> 8) & jnp.uint32(0x00FF00FF))
+    x = (x << 16) | (x >> 16)
+    # complement bases < 4 (b -> b^3), keep sentinels
+    m4 = (x >> 2) & _M1                      # lsb set where nibble == 4
+    x = x ^ (_M3 & ~(m4 * 15))
+    return jnp.flip(x, axis=-1)
+
+
+def _roll_rows(x: jax.Array, r_bases: jax.Array, Wn: int) -> jax.Array:
+    """Per-row circular LEFT roll by r_bases bases: out[j] = in[(j+r) % W8]."""
+    r = jnp.remainder(r_bases.astype(jnp.int32), Wn * 8)
+    sh = (4 * (r & 7)).astype(jnp.uint32)[:, None]
+    nxt = jnp.concatenate([x[:, 1:], x[:, :1]], axis=1)
+    hi = jnp.where(sh == 0, jnp.uint32(0),
+                   nxt << ((jnp.uint32(32) - sh) & jnp.uint32(31)))
+    x = jnp.where(sh == 0, x, (x >> sh) | hi)
+    a = (r >> 3)[:, None]
+    for bit in range((Wn - 1).bit_length()):
+        s = 1 << bit
+        if s >= Wn:
+            break
+        rolled = jnp.concatenate([x[:, s:], x[:, :s]], axis=1)
+        x = jnp.where((a & s) != 0, rolled, x)
+    return x
+
+
+def _popcount_lsb(bits: jax.Array) -> jax.Array:
+    """Sum of per-nibble-lsb flags of each word ([..., Wn] uint32 -> int32
+    per-row totals)."""
+    s = bits
+    s = s + (s >> 4)
+    s = s + (s >> 8)
+    s = s + (s >> 16)
+    return jnp.sum((s & jnp.uint32(0xF)).astype(jnp.int32), axis=-1)
+
+
+def _nibble_range_mask(lo: jax.Array, hi: jax.Array, Wn: int) -> jax.Array:
+    """[P, Wn] uint32: per-nibble lsb set where column j=8w+n is in
+    [lo, hi) (lo/hi are [P] base coords, lo <= hi)."""
+    w8 = jnp.arange(Wn, dtype=jnp.int32)[None, :] * 8
+    nlo = jnp.clip(lo[:, None] - w8, 0, 8).astype(jnp.uint32)
+    nhi = jnp.clip(hi[:, None] - w8, 0, 8).astype(jnp.uint32)
+    # bits set where n >= nlo (shift-by-32 guarded via &31 + where)
+    mlo = jnp.where(nlo >= 8, jnp.uint32(0), _M1 << ((4 * nlo) & 31))
+    mhi = jnp.where(nhi >= 8, jnp.uint32(0), _M1 << ((4 * nhi) & 31))
+    return mlo ^ mhi  # nlo <= n < nhi
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "max_mismatch", "segments", "event_words", "toff"))
+def extend_chains(ch: Chains, seqs: jax.Array, *, k: int,
+                        max_mismatch: int, segments: int = 4,
+                        event_words: int = 64,
+                        seqs_t: Optional[jax.Array] = None,
+                        toff: int = 0) -> Extensions:
+    """Dense gather-free verification; same Extensions contract as
+    previous rounds.
 
     Args:
-      ch: refined chains (anchors compacted to row prefixes).
-      seqs: uint8 [Nq, Lq] padded forward base matrix for QUERY rows
-        (indexed by qid). When seqs_t is None it also serves the targets.
-      seqs_t: optional uint8 [Nt, Lt] padded matrix for TARGET rows —
-        queries and targets may use different length buckets so a
-        150 bp short-read query set is never padded to a 100 kb contig
-        bucket (row tid - toff indexes seqs_t).
-      toff: global id of seqs_t's row 0.
+      ch: refined chains.
+      seqs: uint8 [Nq, Lq] padded forward base matrix for QUERY rows.
+      seqs_t: optional target matrix (row tid - toff); defaults to seqs.
       k: anchor k-mer length.
-      gap_tile: max columns verified per gap (G).
       max_mismatch: static cap S on emitted mismatch events per pair.
+      segments: diagonal-run budget K per chain.
+      event_words: word budget E for the mismatch-event map.
     """
     if seqs_t is None:
         seqs_t = seqs
         toff = 0
-    tid_row = jnp.clip(ch.tid - toff, 0, seqs_t.shape[0] - 1)
     P, A = ch.aq.shape
-    G, S = gap_tile, max_mismatch
+    K, S = segments, max_mismatch
 
-    dq = ch.aq[:, 1:] - ch.aq[:, :-1]             # [P, A-1]
-    dt = ch.at[:, 1:] - ch.at[:, :-1]
+    qpacked = pack_rows(seqs)
+    tpacked = qpacked if seqs_t is seqs else pack_rows(seqs_t)
+    Wn = max(qpacked.shape[1], tpacked.shape[1])
+    if qpacked.shape[1] < Wn:
+        qpacked = jnp.pad(qpacked, ((0, 0), (0, Wn - qpacked.shape[1])),
+                          constant_values=np.uint32(0x44444444))
+    if tpacked.shape[1] < Wn:
+        tpacked = jnp.pad(tpacked, ((0, 0), (0, Wn - tpacked.shape[1])),
+                          constant_values=np.uint32(0x44444444))
+    W8 = Wn * 8
+    E = min(event_words, Wn)
+
+    tid_row = jnp.clip(ch.tid - toff, 0, tpacked.shape[0] - 1)
+    qrow = qpacked[jnp.clip(ch.qid, 0, qpacked.shape[0] - 1)]  # [P, Wn]
+    trow = tpacked[tid_row]
+    minus = ch.strand == 1
+    # adjusted-frame target rows: base j of t_adj = strand-adjusted coord j,
+    # realized lazily: for '-' rows, revcomp in the PADDED frame then fold
+    # the (W8 - tlen) offset into each segment's roll amount
+    trow = jnp.where(minus[:, None], _revcomp_rows(trow), trow)
+    radj = jnp.where(minus, W8 - ch.tlen, 0)
+
+    # ---- segments: maximal runs of anchors on one diagonal --------------
+    d = ch.at - ch.aq                                    # [P, A]
+    prev_d = jnp.concatenate([d[:, :1] - 1, d[:, :-1]], axis=1)
+    runstart = ch.amask & (d != prev_d)
+    runstart = runstart.at[:, 0].set(ch.amask[:, 0])
+    n_runs = jnp.sum(runstart, axis=1).astype(jnp.int32)
+    aidx = jax.lax.broadcasted_iota(jnp.int32, (P, A), 1)
+    key = jnp.where(runstart, aidx, _BIG)
+    (keyS,) = jax.lax.sort((key,), num_keys=1, dimension=1, is_stable=False)
+    sel = jnp.minimum(keyS[:, :K + 1], A - 1)            # [P, K+1]
+    sel_ok = keyS[:, :K + 1] < _BIG
+
+    n_anch = jnp.maximum(ch.n_anchors, 1)
+    # run m spans anchors [sel[m], end_m] with end_m = next run start - 1
+    # (or the last anchor for the final run)
+    nxt_start = jnp.where(sel_ok[:, 1:], sel[:, 1:], n_anch[:, None])  # [P, K]
+    end = jnp.clip(nxt_start - 1, 0, A - 1)
+
+    take = lambda x, i: jnp.take_along_axis(x, i, axis=1)
+    sel_k = sel[:, :K]
+    seg_qlo = take(ch.aq, sel_k)                          # [P, K]
+    seg_qhi = take(ch.aq, end) + k
+    seg_d = take(d, sel_k)
+    seg_tlo = take(ch.at, sel_k)
+    seg_thi = take(ch.at, end) + k
+    used = sel_ok[:, :K] & ch.valid[:, None]
+
+    # indels: total diagonal change over ALL anchor links
     link = ch.amask[:, 1:]
-    equal = link & (dq == dt) & (dq > k)
-    gap = jnp.where(equal, dq - k, 0)             # equal-gap length
-    uneq = link & (dq != dt)
-    gq, gt = dq - k, dt - k                        # per-side gap lengths
-    shift = jnp.abs(dq - dt)
-    if max_indel_band > 0:
-        ver_u = uneq & (gq >= 0) & (gt >= 0) & (gq <= G) & (gt <= G) & \
-            (shift <= max_indel_band)
-    else:
-        ver_u = jnp.zeros_like(uneq)
-    est_u = uneq & ~ver_u                          # fall back to estimate
-    unverified = jnp.sum(jnp.where(est_u, jnp.minimum(dq, dt) - jnp.minimum(
-        jnp.minimum(dq, dt), k), 0), axis=1) \
-        + jnp.sum(jnp.maximum(gap - G, 0), axis=1)
-    indels = jnp.sum(jnp.where(uneq, jnp.abs(dq - dt), 0), axis=1)
+    dd = jnp.abs(d[:, 1:] - d[:, :-1])
+    indels = jnp.sum(jnp.where(link, dd, 0), axis=1).astype(jnp.int32)
 
-    # Compact the links that actually need base work to a short prefix:
-    # minimizer anchors sit ~(w+1)/2 bp apart, so with k-mer anchors most
-    # links have NO gap at all (dq <= k) and a dense [P, A-1, G] gather
-    # wastes >4x HBM traffic (measured 411 ms -> the dominant block cost).
-    # THREE TIERS (round 4; budgets are config-driven via OverlapConfig):
-    # equal gaps are overwhelmingly 1-5 bp (single error shadows), so most
-    # of the equal budget goes to a small tile (Gs bases) and a few slots
-    # carry the full gap_tile; indel links get their OWN tier so the
-    # banded-DP scan only ever runs over links_indel slots — equal-gap
-    # verification never pays for the scan. Links beyond the budgets fall
-    # back to the estimate (counted as unverified below).
-    Gs = min(gap_tile_small, G)
-    need_es = equal & (gap > 0) & (gap <= Gs)
-    need_el = equal & (gap > Gs)
-    need_i = ver_u
-    AGes = min(A - 1, max(8, links_eq_small))
-    AGel = min(A - 1, max(4, links_eq_large))
-    AGi = min(A - 1, max(4, links_indel))
-    colL = jax.lax.broadcasted_iota(jnp.int32, (P, A - 1), 1)
+    # unverified: inter-segment gaps between used segments, plus the whole
+    # remaining span when runs exceed the K budget
+    gq = seg_qlo[:, 1:] - seg_qhi[:, :-1]                 # [P, K-1]
+    gt = seg_tlo[:, 1:] - seg_thi[:, :-1]
+    unverified = jnp.sum(jnp.where(
+        used[:, 1:], jnp.maximum(jnp.minimum(gq, gt), 0), 0), axis=1)
+    overflow = sel_ok[:, K] & ch.valid
+    last_hi = jnp.max(jnp.where(used, seg_qhi, 0), axis=1)
+    unverified = unverified + jnp.where(
+        overflow, jnp.maximum(ch.qe - jnp.minimum(last_hi, ch.qe), 0), 0)
 
-    def _select(need, AG):
-        # earliest needy links first: a 1-operand row sort of (col or BIG)
-        # + static slice beats top_k on TPU (top_k at [P, A] costs ~10x
-        # the sort; see CLAUDE.md micro facts), and the payload gathers
-        # happen at the compacted [P, AG] width
-        keyL = jnp.where(need, colL, jnp.int32(1 << 30))
-        (keyS,) = jax.lax.sort((keyL,), num_keys=1, dimension=1,
-                               is_stable=False)
-        selL = jnp.minimum(keyS[:, :AG], A - 2)
-        sel_okL = keyS[:, :AG] < jnp.int32(1 << 30)
+    # ---- per-segment roll + SWAR compare --------------------------------
+    matches = jnp.zeros(P, jnp.int32)
+    ver_cols = jnp.zeros(P, jnp.int32)
+    n_cols = jnp.zeros(P, jnp.int32)
+    mm_n = jnp.zeros(P, jnp.int32)
+    widx = jax.lax.broadcasted_iota(jnp.int32, (P, Wn), 1)
+    evbits = jnp.zeros((P, Wn), jnp.uint32)
+    ev_tw = jnp.full((P, Wn), np.uint32(0xFFFFFFFF), jnp.uint32)
+    ev_dgr = jnp.zeros((P, Wn), jnp.int32)
+    owned = jnp.zeros((P, Wn), bool)
+    d0 = seg_d[:, 0]
 
-        def _take(x, fill):
-            v = jnp.take_along_axis(x, selL, axis=1)
-            return jnp.where(sel_okL, v, jnp.asarray(fill, v.dtype))
+    vq_all = ~(qrow >> 2) & _M1                           # q nibble < 4
+    # inter-segment gap events ("single-indel suffix model", matching the
+    # tile path and filter_overlap_slr2's CIGAR walk near indels): within
+    # the gap before segment m, columns after the FIRST mismatch on the
+    # PREVIOUS diagonal (plus max(gq-gt, 0)) align on segment m's diagonal
+    # and their mismatches are emitted as events.  Carried across the loop:
+    p_star = jnp.zeros(P, jnp.int32)     # first prefix-diag mm in next gap
+    for m in range(K):
+        ok_m = used[:, m]
+        lo = jnp.where(ok_m, seg_qlo[:, m], 0)
+        hi = jnp.where(ok_m, seg_qhi[:, m], 0)
+        troll = _roll_rows(trow, seg_d[:, m] + radj, Wn)
+        x = qrow ^ troll
+        nz = (x | (x >> 1) | (x >> 2) | (x >> 3)) & _M1
+        vt = ~(troll >> 2) & _M1
+        valid = vq_all & vt
+        seg_mask = _nibble_range_mask(lo, hi, Wn)
+        match_b = valid & ~nz & seg_mask
+        mm_b = valid & nz & seg_mask
+        matches = matches + _popcount_lsb(match_b)
+        vcols = _popcount_lsb(valid & seg_mask)
+        ver_cols = ver_cols + vcols
+        n_cols = n_cols + (jnp.where(ok_m, hi - lo, 0) - vcols)
 
-        return (_take(ch.aq[:, :-1], 0), _take(ch.at[:, :-1], 0),
-                _take(gap, 0), _take(gq, 0), _take(gt, 0), sel_okL)
+        # suffix events in the PRECEDING gap, on THIS segment's diagonal
+        ev_lo = lo
+        if m > 0:
+            prev_ok = used[:, m - 1] & ok_m
+            gq_m = seg_qlo[:, m] - seg_qhi[:, m - 1]
+            gt_m = seg_tlo[:, m] - seg_thi[:, m - 1]
+            suf_lo = p_star + jnp.maximum(gq_m - gt_m, 0)
+            suf_lo = jnp.where(prev_ok, jnp.minimum(suf_lo, lo), lo)
+            suf_mask = _nibble_range_mask(suf_lo, lo, Wn)
+            mm_suf = valid & nz & suf_mask
+            mm_b = mm_b | mm_suf
+            ev_lo = suf_lo
 
-    sel_es = _select(need_es, AGes)
-    sel_el = _select(need_el, AGel)
-    sel_i = _select(need_i, AGi) if max_indel_band > 0 else None
+        mm_n = mm_n + _popcount_lsb(mm_b)
 
-    # budget-overflow accounting: verification that didn't happen becomes
-    # unverified columns (identity stays calibrated, never inflated)
-    tot_eq = jnp.sum(jnp.where(equal, jnp.minimum(gap, G), 0), axis=1)
-    tot_uv = jnp.sum(jnp.where(ver_u, jnp.minimum(gq, gt), 0), axis=1)
-    sel_eq = (jnp.sum(jnp.where(sel_es[5], jnp.minimum(sel_es[2], Gs), 0),
-                      axis=1)
-              + jnp.sum(jnp.where(sel_el[5], jnp.minimum(sel_el[2], G), 0),
-                        axis=1))
-    sel_uv = jnp.sum(jnp.where(sel_i[5], jnp.minimum(sel_i[3], sel_i[4]), 0),
-                     axis=1) if sel_i is not None else jnp.int32(0)
-    unverified = unverified + (tot_eq - sel_eq) + (tot_uv - sel_uv)
+        # first mismatch on THIS diagonal inside the FOLLOWING gap (becomes
+        # p_star for segment m+1's suffix window)
+        if m < K - 1:
+            nxt_lo = jnp.where(used[:, m + 1], seg_qlo[:, m + 1], hi)
+            gap_mask = _nibble_range_mask(hi, nxt_lo, Wn)
+            gmm = valid & nz & gap_mask
+            smear = gmm
+            smear = smear | (smear << 4)
+            smear = smear | (smear << 8)
+            smear = smear | (smear << 16)
+            s = smear
+            s = s + (s >> 4); s = s + (s >> 8); s = s + (s >> 16)
+            n0 = 8 - (s & jnp.uint32(0xF)).astype(jnp.int32)  # 8 if empty
+            wpos = jnp.where(gmm != 0, widx * 8 + n0, _BIG)
+            first = jnp.min(wpos, axis=1)
+            # default when the prefix diagonal shows no difference:
+            # min(gq, gt) into the gap (tile-path p_star fallback)
+            gq_n = jnp.where(used[:, m + 1], seg_qlo[:, m + 1], hi) - hi
+            gt_n = jnp.where(used[:, m + 1], seg_tlo[:, m + 1],
+                             seg_thi[:, m]) - seg_thi[:, m]
+            p_star = jnp.where(first < _BIG, first,
+                               hi + jnp.maximum(jnp.minimum(gq_n, gt_n), 0))
 
-    pad_bases = ((G + k) // 8 + 2) * 8
-    pad_words = pad_bases // 8
-    qpacked = _pack_nibbles(seqs, pad_words)
-    tpacked = qpacked if seqs_t is seqs else _pack_nibbles(seqs_t, pad_words)
+        # event map: words owned by the FIRST segment touching them (the
+        # suffix window extends the touch range into the preceding gap)
+        touches = (widx * 8 + 8 > ev_lo[:, None]) & (widx * 8 < hi[:, None]) \
+            & ok_m[:, None]
+        own_m = touches & ~owned
+        owned = owned | touches
+        dgr = jnp.clip(seg_d[:, m] - d0, -_DGR_SPAN + 1, _DGR_SPAN - 1)
+        in_span = (jnp.abs(seg_d[:, m] - d0) < _DGR_SPAN)[:, None]
+        emit = own_m & in_span
+        evbits = jnp.where(emit, mm_b, evbits)
+        # sentinel-mask ineligible nibbles of the t word so event
+        # eligibility reconstructs from (qw, tw) alone after compaction
+        tw_m = troll | ~((mm_b) * 15)
+        ev_tw = jnp.where(emit, tw_m, ev_tw)
+        ev_dgr = jnp.where(emit, dgr[:, None], ev_dgr)
 
-    matches = ch.score
-    ver_cols = ch.score
-    mm_parts = []
-    for (aq_s, at_s, gap_s, gq_s, gt_s, ok_s), Gt in (
-            (sel_es, Gs), (sel_el, G)):
-        m_add, vc_add, n_cols_t, mm_t = _verify_eq_tier(
-            qpacked, tpacked, ch, tid_row, aq_s, at_s, gap_s, ok_s,
-            k=k, G=Gt, pad_bases=pad_bases)
-        matches = matches + m_add
-        ver_cols = ver_cols + vc_add
-        # N columns inside equal gaps are neither matched nor mismatched:
-        # fold them into unverified
-        unverified = unverified + n_cols_t
-        mm_parts.append(mm_t)
-    if sel_i is not None:
-        aq_s, at_s, _, gq_s, gt_s, ok_s = sel_i
-        m_add, vc_add, _, mm_t = _verify_indel_tier(
-            qpacked, tpacked, ch, tid_row, aq_s, at_s, gq_s, gt_s, ok_s,
-            k=k, G=G, pad_bases=pad_bases, max_indel_band=max_indel_band)
-        matches = matches + m_add
-        ver_cols = ver_cols + vc_add
-        mm_parts.append(mm_t)
+    unverified = unverified + n_cols
+
+    # ---- event compaction 1: first E event words ------------------------
+    has_ev = evbits != 0
+    wkey = jnp.where(has_ev, widx * (2 * _DGR_SPAN) + ev_dgr + _DGR_SPAN,
+                     _BIG)
+    qw_i = jax.lax.bitcast_convert_type(qrow, jnp.int32)
+    tw_i = jax.lax.bitcast_convert_type(ev_tw, jnp.int32)
+    wkeyS, qwS, twS = jax.lax.sort((wkey, qw_i, tw_i), num_keys=1,
+                                   dimension=1, is_stable=False)
+    w_ok = wkeyS[:, :E] < _BIG
+    w_sel = jnp.where(w_ok, wkeyS[:, :E] // (2 * _DGR_SPAN), 0)
+    dgr_sel = jnp.where(w_ok, wkeyS[:, :E] % (2 * _DGR_SPAN) - _DGR_SPAN, 0)
+    qw_sel = jax.lax.bitcast_convert_type(
+        jnp.where(w_ok, qwS[:, :E], 0), jnp.uint32)
+    tw_sel = jax.lax.bitcast_convert_type(
+        jnp.where(w_ok, twS[:, :E], -1), jnp.uint32)
+
+    # ---- decode event words to columns, compact to [P, S] ---------------
+    nib = jnp.arange(8, dtype=jnp.uint32)[None, None, :] * 4
+    qb = ((qw_sel[..., None] >> nib) & 15).astype(jnp.int32)   # [P, E, 8]
+    tb = ((tw_sel[..., None] >> nib) & 15).astype(jnp.int32)
+    is_ev = (qb < 4) & (tb < 4) & (qb != tb)
+    qcol = (w_sel[..., None] * 8
+            + jnp.arange(8, dtype=jnp.int32)[None, None, :])
+    tcol_adj = qcol + (d0[:, None, None] + dgr_sel[..., None])
+
+    M2 = E * 8
+    is_ev = is_ev.reshape(P, M2)
+    colk = jax.lax.broadcasted_iota(jnp.int32, (P, M2), 1)
+    # payloads: p1 = qcol*8 + qb  (qcol < 2^18*8), p2 = tcol_adj*8 + tb
+    p1 = (qcol.reshape(P, M2) << 3) | qb.reshape(P, M2)
+    p2 = (tcol_adj.reshape(P, M2) << 3) | tb.reshape(P, M2)
+    ckey = jnp.where(is_ev, colk, _BIG)
+    ckeyS, p1S, p2S = jax.lax.sort((ckey, p1, p2), num_keys=1,
+                                   dimension=1, is_stable=False)
+    e_ok = ckeyS[:, :S] < _BIG
+    mm_q = jnp.where(e_ok, p1S[:, :S] >> 3, -1)
+    mm_qb = jnp.where(e_ok, p1S[:, :S] & 7, 4).astype(jnp.int8)
+    t_adj = p2S[:, :S] >> 3
+    tb_adj = jnp.where(e_ok, p2S[:, :S] & 7, 4).astype(jnp.int8)
+    # forward target frame (same convention as extend.py)
+    mm_t = jnp.where(e_ok, jnp.where(minus[:, None],
+                                     ch.tlen[:, None] - 1 - t_adj, t_adj), -1)
+    mm_tb = jnp.where((minus[:, None]) & (tb_adj < 4), 3 - tb_adj, tb_adj)
+    mm_mask = e_ok  # exactly the emitted events (word budget may drop some
+    #                 counted in mm_n; mask must never cover fill slots)
 
     m = matches.astype(jnp.float32)
     c = jnp.maximum(ver_cols, 1).astype(jnp.float32)
@@ -424,44 +379,6 @@ def extend_chains(ch: Chains, seqs: jax.Array, *, k: int, gap_tile: int,
     g = indels.astype(jnp.float32)
     identity = (m + u * (m / c)) / (c + u + g)
     identity = jnp.where(ch.valid, identity, 0.0)
-
-    # compact mismatch events to [P, S]; emit forward coordinates. All
-    # tiers' events concatenate along the flattened column axis
-    # (coordinates travel with each event). Compaction is a 1-operand row
-    # sort of (col or BIG) + static slice + payload gathers at [P, S]
-    # (row-wise scatters serialize badly on TPU, and top_k costs ~4x the
-    # sort at this width; reconstructing coordinates after compaction was
-    # measured SLOWER than carrying the payload arrays — see BASELINE.md).
-    mmf = jnp.concatenate([t[0] for t in mm_parts], axis=1)
-    qpos_f = jnp.concatenate([t[1] for t in mm_parts], axis=1)
-    tpos_adj = jnp.concatenate([t[2] for t in mm_parts], axis=1)
-    tpos_fwd = jnp.where(ch.strand[:, None] == 1,
-                         ch.tlen[:, None] - 1 - tpos_adj, tpos_adj)
-    qb_f = jnp.concatenate([t[3] for t in mm_parts], axis=1)
-    tb_f = jnp.concatenate([t[4] for t in mm_parts], axis=1)
-    # base pair in forward target frame: complement if '-' strand
-    tb_fwd = jnp.where((ch.strand[:, None] == 1) & (tb_f < 4), 3 - tb_f, tb_f)
-
-    M = mmf.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, (P, M), 1)
-    key = jnp.where(mmf, col, jnp.int32(1 << 30))
-    (keyS2,) = jax.lax.sort((key,), num_keys=1, dimension=1,
-                            is_stable=False)
-    sel_ok = keyS2[:, :S] < jnp.int32(1 << 30)   # earliest columns first
-    topi = jnp.minimum(keyS2[:, :S], M - 1)
-    prow = jax.lax.broadcasted_iota(jnp.int32, (P, S), 0)
-
-    def compact(x, fill, dtype):
-        return jnp.where(sel_ok, x[prow, topi].astype(dtype),
-                         jnp.asarray(fill, dtype))
-
-    mm_q = compact(qpos_f, -1, jnp.int32)
-    mm_t = compact(tpos_fwd, -1, jnp.int32)
-    mm_qb = compact(qb_f, 4, jnp.int8)
-    mm_tb = compact(tb_fwd, 4, jnp.int8)
-    mm_n = jnp.sum(mmf, axis=1).astype(jnp.int32)
-    mm_mask = jax.lax.broadcasted_iota(jnp.int32, (P, S), 1) < \
-        jnp.minimum(mm_n, S)[:, None]
 
     return Extensions(matches=matches, columns=ver_cols,
                       unverified=unverified, indels=indels,

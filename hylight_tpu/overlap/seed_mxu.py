@@ -185,7 +185,8 @@ def mxu_candidates(ms: MinimizerSet, lens: jax.Array, *,
     # NOTE on overflow bias: when n_pairs > max_pairs the first max_pairs
     # entries in flat row-major order are kept, so HIGH-qid reads lose all
     # their candidates (the sort path drops by window score instead). The
-    # engine warns on overflow; size max_pairs to the expected pair count.
+    # engine detects n_winners > max_pairs and RETRIES the block at a
+    # bucketed cap sized from the exact count (engine.py whole-set path).
     pidx, pok, n_pairs = _first_k_true(good.reshape(-1), P)
     pq = jnp.where(pok, pidx // B, 0)
     pt = jnp.where(pok, pidx % B, 0)

@@ -154,6 +154,31 @@ def test_ultralong_reads_packed_path(rng):
     assert t.identity[i] > 0.95
 
 
+def test_pair_overflow_retries_not_truncates(rng):
+    """mxu whole-set path: when candidate pairs exceed the cap, the engine
+    retries at a bucketed cap sized from the exact count instead of
+    silently dropping all high-qid reads' candidates (advisor r4)."""
+    from hylight_tpu.config import OverlapConfig
+    from hylight_tpu.io.readset import ReadSet
+    from hylight_tpu.overlap.engine import EngineStats, find_overlaps
+
+    g = rng.integers(0, 4, size=3000).astype(np.uint8)
+    # 40 reads from one locus: every pair overlaps (780 candidate pairs)
+    reads = [g[s:s + 2000].copy() for s in
+             rng.integers(0, 1000, size=40)]
+    rs = ReadSet.from_seqs(reads)
+    cfg = OverlapConfig(k=13, w=5, min_ovlp_len=500, min_identity=0.9,
+                        min_anchors=4, min_chain_score=60, max_occ=64,
+                        anchors_per_pair=128, seed_mode="mxu")
+    stats = EngineStats()
+    t = find_overlaps(rs, cfg=cfg, pairs_per_block=256, stats=stats)
+    assert stats.pair_overflows >= 1
+    # every read keeps overlaps — including the high ids the truncation
+    # would have dropped (cap_per_read caps at 60, far above need here)
+    touched = set(t.qid.tolist()) | set(t.tid.tolist())
+    assert touched == set(range(40))
+
+
 def test_high_error_identity_calibrated(rng):
     """Raw high-error (low_q-style) reads: the identity ESTIMATE must track
     the true pairwise error rate even when most inter-anchor gaps exceed
@@ -172,8 +197,7 @@ def test_high_error_identity_calibrated(rng):
     cfg = OverlapConfig(k=13, w=5, min_ovlp_len=1000, min_identity=0.8,
                         min_anchors=4, min_chain_score=50, max_occ=16,
                         anchors_per_pair=256, gap_tile=64,
-                        gap_tile_small=16, gap_links_eq_small=96,
-                        gap_links_eq_large=48, gap_links_indel=64)
+                        verify_segments=16, verify_event_words=96)
     t = find_overlaps(rs, cfg=cfg)
     assert t.n >= 10
     # true pairwise identity ~ (1-0.04)^2 + small back-mutation ~ 0.923

@@ -83,7 +83,7 @@ def test_snp_events_inside_indel_gaps():
     rs = ReadSet.from_seqs([r1, r2])
     cfg = OverlapConfig(k=13, w=5, min_ovlp_len=300, min_identity=0.9,
                         min_anchors=3, min_chain_score=60, max_occ=16,
-                        anchors_per_pair=256, gap_tile=32, max_indel_band=8)
+                        anchors_per_pair=256, gap_tile=32)
     t = find_overlaps(rs, cfg=cfg, query_block=2)
     assert t.n == 1
     ev_q = t.mm_q[0][t.mm_mask[0]]

@@ -1,6 +1,10 @@
-"""Per-stage TPU timing of the overlap block (sync via host fetch).
+"""Per-stage TPU timing of the overlap block (scalar-reduced sync).
 
-Usage: python tools/profile_block.py [n_reads] [read_len]
+Usage: python tools/profile_block.py [n_reads] [read_len] [--mxu|--legacy]
+
+TIMING PROTOCOL (axon tunnel): each timed jit reduces its outputs to ONE
+scalar on device before the fetch — fetching an array ships the whole
+buffer over the tunnel and corrupts the number (CLAUDE.md).
 """
 import sys, time, numpy as np
 sys.path.insert(0, "/root/repo")
@@ -15,7 +19,7 @@ from hylight_tpu.overlap.filters import admission_filter
 args = [a for a in sys.argv[1:] if not a.startswith("--")]
 n_reads = int(args[0]) if len(args) > 0 else 64
 read_len = int(args[1]) if len(args) > 1 else 8192
-w = int(args[2]) if len(args) > 2 else 5
+w = int(args[2]) if len(args) > 2 else 10
 max_occ = int(args[3]) if len(args) > 3 else 16
 max_pairs = max(2048, n_reads * 16)
 
@@ -33,12 +37,23 @@ seqs_np, lens_np = rs.to_padded(max_len=read_len)
 seqs=jnp.asarray(seqs_np); lens=jnp.asarray(lens_np)
 mcap = ((int(2 * read_len / (w + 1)) + 64) + 63) // 64 * 64
 
+
+def scalarize(r):
+    leaves = jax.tree.leaves(r)
+    return sum(jnp.sum(x.astype(jnp.float32)) for x in leaves
+               if x.dtype != jnp.bool_)
+
+
 def timeit(name, f, *a):
-    r = f(*a); _ = np.asarray(jax.tree.leaves(r)[0]).ravel()[:1]
+    fs = jax.jit(lambda *a: scalarize(f(*a)))
+    _ = float(np.asarray(fs(*a)))
     t0=time.time(); iters=10
-    for _ in range(iters): r = f(*a)
-    _ = np.asarray(jax.tree.leaves(r)[0]).ravel()[:1]
-    print(name, round((time.time()-t0)/iters,4), flush=True); return r
+    for _i in range(iters):
+        r = fs(*a)
+    float(np.asarray(r))
+    print(name, round((time.time()-t0)/iters,4), flush=True)
+    return f(*a)   # untimed, for downstream stages
+
 
 ms = timeit("minimizers", lambda s,l: minimizers(s,l,k=15,w=w,cap=mcap), seqs, lens)
 if "--mxu" in sys.argv:
@@ -49,28 +64,20 @@ if "--mxu" in sys.argv:
         m,l.astype(jnp.int32),bandwidth=64,min_anchors=4,max_pairs=max_pairs,
         anchors_per_pair=256,max_occ=max_occ,k=15,n_reads=n_reads,
         max_len=read_len), ms, lens)
-    idx = None
-else:
-    idx = timeit("build_index", lambda m: sm.build_index(m,0,max_occ=max_occ), ms)
-if "--mxu" in sys.argv:
-    pass
 elif "--legacy" in sys.argv:
+    idx = timeit("build_index", lambda m: sm.build_index(m,0,max_occ=max_occ), ms)
     an = timeit("collect_anchors", lambda m,i: sm.collect_anchors(m,0,i,max_hits=max_occ,dedup_self=True), ms, idx)
     cand = timeit("group_candidates", lambda a,l: sm.group_candidates(
         a,l.astype(jnp.int32),bandwidth=64,min_anchors=4,max_pairs=max_pairs,
         anchors_per_pair=256,row_size=mcap*max_occ,k=15), an, lens)
 else:
+    idx = timeit("build_index", lambda m: sm.build_index(m,0,max_occ=max_occ), ms)
     cand = timeit("self_join", lambda i,l: sm.self_join_candidates(
         i,l.astype(jnp.int32),bandwidth=64,min_anchors=4,max_pairs=max_pairs,
         anchors_per_pair=256,max_occ=max_occ,k=15,n_reads=n_reads,
         max_len=read_len), idx, lens)
 ch = timeit("refine_chains", lambda c: refine_chains(c,k=15,min_score=100,max_gap=10000), cand)
-ext = timeit("extend_chains", lambda c,s: extend_chains(c,s,k=15,gap_tile=32,max_mismatch=64), ch, seqs)
-if "--extend-variants" in sys.argv:
-    timeit("extend_noindel", lambda c,s: extend_chains(c,s,k=15,gap_tile=32,max_mismatch=64,max_indel_band=0), ch, seqs)
-    timeit("extend_mm8", lambda c,s: extend_chains(c,s,k=15,gap_tile=32,max_mismatch=8), ch, seqs)
-    timeit("extend_links16", lambda c,s: extend_chains(c,s,k=15,gap_tile=32,max_mismatch=64,links_eq_small=16,links_eq_large=8,links_indel=8), ch, seqs)
-    timeit("extend_band4", lambda c,s: extend_chains(c,s,k=15,gap_tile=32,max_mismatch=64,max_indel_band=4), ch, seqs)
+ext = timeit("extend_chains", lambda c,s: extend_chains(c,s,k=15,max_mismatch=64), ch, seqs)
 sc = timeit("admission", lambda c,e: admission_filter(c,e,min_len=2000,min_identity=0.9,max_overhang=1000,overhang_ratio=0.8), ch, ext)
 print("admitted", int(jnp.sum(sc.valid)), "chained", int(jnp.sum(ch.valid)),
       "winners", int(cand.n_winners))
