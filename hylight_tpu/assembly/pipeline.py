@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass, replace
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -50,6 +50,10 @@ class AssemblyOutputs:
     # per-layout-round unitig GFA texts (reference contigs{N}.gfa artifacts,
     # HyLight.py:137-140 + miniasm ma_ug_print)
     gfa: Optional[List[str]] = None
+    # per-cluster per-iteration SR-core rows (vertices/overlaps/edges/
+    # superreads per clique/merge iteration — ViralQuasispecies.cpp:471-489
+    # observability), written into stats.txt by cli.py
+    sr_stats: Optional[Dict[int, List[dict]]] = None
 
 
 def pair_units(rs: ReadSet) -> np.ndarray:
@@ -107,6 +111,7 @@ def hybrid_assemble(lr: ReadSet, sr: Optional[ReadSet], cfg: Config, *,
 
     # 3-5. short-read clusters -> per-cluster strain assembly
     cluster_contigs = ck.load("cluster_contigs")
+    sr_stats: Optional[Dict[int, List[dict]]] = None
     if cluster_contigs is None:
         cluster_contigs = ReadSet.from_seqs([])
         if sr is not None and sr.n:
@@ -114,7 +119,7 @@ def hybrid_assemble(lr: ReadSet, sr: Optional[ReadSet], cfg: Config, *,
             log.info("[P::pipeline] %d/%d short reads left for clustering",
                      leftover.n, sr.n)
             if leftover.n >= cfg.cluster.min_cluster_size:
-                cluster_contigs = _assemble_clusters(leftover, cfg,
+                cluster_contigs, sr_stats = _assemble_clusters(leftover, cfg,
                                                      mesh=mesh)
         ck.save("cluster_contigs", cluster_contigs)
 
@@ -134,7 +139,8 @@ def hybrid_assemble(lr: ReadSet, sr: Optional[ReadSet], cfg: Config, *,
     final.names = [f"final_{i}" for i in range(final.n)]
     return AssemblyOutputs(final_contigs=final, long_contigs=long_contigs,
                            short_stageb=short_stageb,
-                           all_contigs=all_contigs, gfa=gfa_sink)
+                           all_contigs=all_contigs, gfa=gfa_sink,
+                           sr_stats=sr_stats)
 
 
 def _leftover_short_reads(sr: ReadSet, contigs: ReadSet,
@@ -162,8 +168,8 @@ def _leftover_short_reads(sr: ReadSet, contigs: ReadSet,
     return sr.subset(np.nonzero(~used)[0])
 
 
-def _assemble_clusters(leftover: ReadSet, cfg: Config,
-                       mesh=None) -> ReadSet:
+def _assemble_clusters(leftover: ReadSet, cfg: Config, mesh=None
+                       ) -> Tuple[ReadSet, Dict[int, List[dict]]]:
     with stage("sr_cluster_overlaps"):
         table = find_overlaps_streamed(leftover, cfg=cfg.overlap_sr,
                                        query_block=256,
@@ -193,18 +199,19 @@ def _assemble_clusters(leftover: ReadSet, cfg: Config,
         ci, cl = ci_cl
         ridx = sorted(r for u in cl for r in unit_members[int(u)])
         sub = leftover.subset(ridx)
+        rows: List[dict] = []
         try:
             with stage(f"sr_polyte_c{ci}"):
-                contigs = sr_assemble(sub, cfg)
+                contigs = sr_assemble(sub, cfg, stats=rows)
         except Exception:
             # a failed cluster is reported, not fatal (the reference only
             # reports missing per-cluster contigs, HyLight.py:250-256)
             log.exception("[P::pipeline] cluster %d assembly failed "
                           "(%d reads); continuing", ci, sub.n)
-            return ci, None
+            return ci, None, rows
         if contigs.n:
             contigs.names = [f"cl{ci}_{nm}" for nm in contigs.names]
-        return ci, contigs
+        return ci, contigs, rows
 
     workers = max(1, cfg.parallel.cluster_workers)
     if workers > 1 and len(clusters) > 1:
@@ -214,17 +221,18 @@ def _assemble_clusters(leftover: ReadSet, cfg: Config,
     else:
         results = [one(x) for x in enumerate(clusters)]
     results.sort(key=lambda r: r[0])   # deterministic output order
-    n_failed = sum(1 for _, c in results if c is None)
-    parts = [c for _, c in results if c is not None and c.n]
+    n_failed = sum(1 for _, c, _r in results if c is None)
+    parts = [c for _, c, _r in results if c is not None and c.n]
+    sr_stats = {ci: rows for ci, _, rows in results if rows}
     if n_failed:
         log.warning("[P::pipeline] %d/%d clusters failed", n_failed,
                     len(clusters))
     if not parts:
-        return ReadSet.from_seqs([])
+        return ReadSet.from_seqs([]), sr_stats
     out = parts[0]
     for p in parts[1:]:
         out = out.concat(p)
-    return out
+    return out, sr_stats
 
 
 def write_outputs(out: AssemblyOutputs, outdir: str) -> None:

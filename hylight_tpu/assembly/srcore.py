@@ -567,7 +567,8 @@ def clique_iteration(ws: WorkingSet, cfg: Config, *, min_overlap_len: int,
                      edge_threshold: float, min_clique_size: int,
                      trim: bool, merge_eps: float = 0.0,
                      thresholds: Optional[EvidenceThresholds] = None,
-                     diploid: bool = False) -> WorkingSet:
+                     diploid: bool = False,
+                     stats: Optional[List[dict]] = None) -> WorkingSet:
     """One clique-based iteration (EC when trim=True).
 
     Graph-cleaning schedule mirrors one ViralQuasispecies invocation
@@ -649,8 +650,19 @@ def clique_iteration(ws: WorkingSet, cfg: Config, *, min_overlap_len: int,
                     out.used[np.asarray(placed)] = True
 
     out.emit_trivial()
-    return out.finish("clique_it", extra=f"{len(cliques)} cliques",
-                      table=table, labels=labels)
+    res = out.finish("clique_it", extra=f"{len(cliques)} cliques",
+                     table=table, labels=labels)
+    if stats is not None:
+        # per-iteration observability row (ViralQuasispecies.cpp:471-489
+        # stats.txt vertices/edges/overlaps + logfile clique/superread
+        # counts, surfaced by cli.py into stats.txt)
+        stats.append(dict(kind="clique", vertices=int(ws.n),
+                          overlaps=int(table.n),
+                          edges_admitted=int(np.sum(admitted)),
+                          edges_kept=int(np.sum(keep)),
+                          cliques=len(cliques), superreads=int(res.n),
+                          paired=int((res.mate >= 0).sum()) // 2))
+    return res
 
 
 class _SuperreadAccum:
@@ -743,7 +755,9 @@ def merge_iteration(ws: WorkingSet, cfg: Config, *, min_overlap_len: int,
                     edge_threshold: float, merge_eps: float = 0.0,
                     remove_branches: bool = True,
                     remove_tips: bool = False, max_tip_len: int = 150,
-                    reoverlap: bool = True) -> Tuple[WorkingSet, int]:
+                    reoverlap: bool = True,
+                    stats: Optional[List[dict]] = None
+                    ) -> Tuple[WorkingSet, int]:
     """Greedy disjoint-edge merging (mergeAlongEdges path).
 
     Merge iterations run with cliques=false, which forces
@@ -850,6 +864,13 @@ def merge_iteration(ws: WorkingSet, cfg: Config, *, min_overlap_len: int,
     out.emit_trivial()
     nws = out.finish("merge_it", extra=f"{n_merged} merges", table=table,
                      labels=labels)
+    if stats is not None:
+        stats.append(dict(kind="merge", vertices=int(ws.n),
+                          overlaps=int(table.n),
+                          edges_admitted=int(np.sum(admitted)),
+                          edges_kept=int(np.sum(keep0)),
+                          merges=int(n_merged), superreads=int(nws.n),
+                          paired=int((nws.mate >= 0).sum()) // 2))
     return nws, n_merged
 
 
@@ -1128,7 +1149,8 @@ def join_mates(ws: WorkingSet, cfg: Config, min_overlap_len: int,
 # the per-cluster driver (polyte.tune_params.run_savage_assembly equivalent)
 
 def sr_assemble(reads: ReadSet, cfg: Config,
-                use_branch_reduction: bool = True) -> ReadSet:
+                use_branch_reduction: bool = True,
+                stats: Optional[List[dict]] = None) -> ReadSet:
     """Assemble one read cluster into strain-resolved contigs.
 
     Paired-end reads (names ending '/1' '/2') enter as mate-linked rows;
@@ -1148,7 +1170,8 @@ def sr_assemble(reads: ReadSet, cfg: Config,
     # iteration 1: clique-based error correction
     ws = clique_iteration(ws, cfg, min_overlap_len=sc.min_overlap_len_ec,
                           edge_threshold=sc.edge_threshold_ec,
-                          min_clique_size=sc.min_clique_size, trim=True)
+                          min_clique_size=sc.min_clique_size, trim=True,
+                          stats=stats)
     if has_pe:
         ws, _ = join_mates(ws, cfg, sc.min_overlap_len)
 
@@ -1164,7 +1187,8 @@ def sr_assemble(reads: ReadSet, cfg: Config,
             prev = ws.n
             ws, n_merged = merge_iteration(
                 ws, cfg, min_overlap_len=sc.min_overlap_len,
-                edge_threshold=sc.edge_threshold, merge_eps=1e-4)
+                edge_threshold=sc.edge_threshold, merge_eps=1e-4,
+                stats=stats)
             if has_pe:
                 ws, nj = join_mates(ws, cfg, sc.min_overlap_len)
                 n_merged += nj
@@ -1174,7 +1198,7 @@ def sr_assemble(reads: ReadSet, cfg: Config,
         ws = clique_iteration(ws, cfg, min_overlap_len=sc.min_overlap_len,
                               edge_threshold=sc.edge_threshold,
                               min_clique_size=2, trim=False, merge_eps=1e-4,
-                              thresholds=thresholds)
+                              thresholds=thresholds, stats=stats)
         if has_pe:
             ws, _ = join_mates(ws, cfg, sc.min_overlap_len)
         its += 1

@@ -135,6 +135,16 @@ def main(argv=None) -> int:
                 f"{int(out.short_stageb.lengths.sum()) if out.short_stageb.n else 0}\n")
         for k, v in STAGE_TIMES.items():
             f.write(f"stage_seconds\t{k}\t{v:.3f}\n")
+        # per-iteration SR-core rows (ViralQuasispecies.cpp:471-489:
+        # vertices/edges/overlaps per iteration + superread counts)
+        for ci, rows in sorted((out.sr_stats or {}).items()):
+            for it, r in enumerate(rows):
+                f.write("sr_iter\t%d\t%d\t%s\t%d\t%d\t%d\t%d\t%d\t%d\t%d\n" % (
+                    ci, it, r.get("kind"), r.get("vertices", 0),
+                    r.get("overlaps", 0), r.get("edges_admitted", 0),
+                    r.get("edges_kept", 0), r.get("superreads", 0),
+                    r.get("paired", 0),
+                    r.get("cliques", r.get("merges", 0))))
     for k, v in STAGE_TIMES.items():
         log.info("[CLI] stage %-24s %8.2f s", k, v)
     return 0

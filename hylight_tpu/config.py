@@ -60,6 +60,9 @@ class OverlapConfig:
     #                             overlaps share >> noise-floor minimizers.
     mxu_bucket_bits: int = 15   # C-matrix histogram bucket count (2^bits)
     mxu_margin: float = 8.0     # sigmas above collision noise for pair admission
+    mxu_join_frac: float = 0.5  # per-read join width cap (smallest-hash
+    #                             subsample, consistent across reads); 1.0
+    #                             joins every minimizer
 
 
 @dataclass(frozen=True)

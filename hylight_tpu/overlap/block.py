@@ -50,7 +50,7 @@ def make_block_fn(cfg: OverlapConfig, *, mcap: int, max_pairs: int,
                 anchors_per_pair=cfg.anchors_per_pair,
                 max_occ=cfg.max_occ, k=cfg.k, n_reads=n_reads,
                 max_len=max_len, bucket_bits=cfg.mxu_bucket_bits,
-                margin=cfg.mxu_margin)
+                margin=cfg.mxu_margin, join_frac=cfg.mxu_join_frac)
             ch = refine_chains(cand, k=cfg.k, min_score=cfg.min_chain_score,
                                max_gap=cfg.max_gap)
             ext = extend_chains(ch, seqs, max_mismatch=snp_cap,

@@ -205,7 +205,8 @@ def find_overlaps(reads: ReadSet, targets: Optional[ReadSet] = None, *,
                     min_anchors=cfg.min_anchors, max_pairs=P_all,
                     anchors_per_pair=A, max_occ=cfg.max_occ, k=cfg.k,
                     n_reads=NA, max_len=Lq,
-                    bucket_bits=cfg.mxu_bucket_bits, margin=cfg.mxu_margin)
+                    bucket_bits=cfg.mxu_bucket_bits, margin=cfg.mxu_margin,
+                    join_frac=cfg.mxu_join_frac)
             else:
                 # right-size the join fan-out to the longest surviving hash
                 # run (bucketed to powers of two so compiles are reused):

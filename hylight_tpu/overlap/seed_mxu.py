@@ -158,13 +158,15 @@ def shared_count_matrix(ms: MinimizerSet, *, bucket_bits: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "bandwidth", "min_anchors", "max_pairs", "anchors_per_pair",
-    "max_occ", "k", "n_reads", "max_len", "bucket_bits", "margin"))
+    "max_occ", "k", "n_reads", "max_len", "bucket_bits", "margin",
+    "join_frac"))
 def mxu_candidates(ms: MinimizerSet, lens: jax.Array, *,
                    bandwidth: int, min_anchors: int, max_pairs: int,
                    anchors_per_pair: int, max_occ: int, k: int,
                    n_reads: int, max_len: int,
                    bucket_bits: int = 15,
-                   margin: float = 8.0) -> Candidates:
+                   margin: float = 8.0,
+                   join_frac: float = 0.5) -> Candidates:
     """All-vs-all overlap candidates via MXU pair finding + per-pair join.
 
     Same output contract as seed.self_join_candidates (one Candidates row
@@ -203,6 +205,19 @@ def mxu_candidates(ms: MinimizerSet, lens: jax.Array, *,
     if Lp > M:
         h = jnp.pad(h, ((0, 0), (0, Lp - M)), constant_values=UINT_MAX)
         pay = jnp.pad(pay, ((0, 0), (0, Lp - M)))
+    # join width cap: keep each read's Lp*join_frac SMALLEST hashes — a
+    # hash-value subsample that is CONSISTENT across reads (a slot-stride
+    # subsample would misalign the two reads' kept sets and destroy the
+    # equal-hash runs for half the pairs).  Anchor density scales by the
+    # retention fraction; at w=10 the spacing stays ~8 bp, far denser than
+    # the anchors_per_pair=256 budget the chain keeps anyway.  Halving the
+    # width halves the two [P, 2*Lp] sorts that dominate this stage.
+    if join_frac < 1.0:
+        Lj = max(256, int(Lp * join_frac))
+        Lj = 1 << (Lj - 1).bit_length()
+        if Lj < Lp:
+            h, pay = h[:, :Lj], pay[:, :Lj]
+            Lp = Lj
 
     hq, payq = h[pq], pay[pq]                       # [P, Lp] row gathers
     ht, payt = h[pt], pay[pt] | 1                   # src bit: target = 1

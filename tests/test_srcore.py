@@ -97,3 +97,22 @@ def test_sr_assemble_two_strains(rng):
         hits_a += in_a and not in_b
         hits_b += in_b and not in_a
     assert hits_a >= 1 and hits_b >= 1
+
+
+def test_sr_assemble_iteration_stats(rng):
+    """Per-iteration observability rows (ViralQuasispecies.cpp:471-489
+    contract): every clique/merge iteration records vertices, overlaps,
+    admitted/kept edges and superread counts; cli.py writes them to
+    stats.txt as sr_iter lines."""
+    g = rng.integers(0, 4, size=1200).astype(np.uint8)
+    rs = ReadSet.from_seqs(_reads_from(g, 150, 20))
+    rows = []
+    srcore.sr_assemble(rs, CFG, use_branch_reduction=False, stats=rows)
+    assert len(rows) >= 2
+    kinds = {r["kind"] for r in rows}
+    assert "clique" in kinds and "merge" in kinds
+    for r in rows:
+        assert r["vertices"] > 0 and r["superreads"] > 0
+        assert r["edges_kept"] <= r["edges_admitted"] <= r["overlaps"]
+    # iteration 1 is the EC clique pass over the raw reads
+    assert rows[0]["kind"] == "clique" and rows[0]["vertices"] == rs.n

@@ -1,14 +1,23 @@
-"""SR-core scale profile: one cluster assembly wall-clock (VERDICT item 6:
-5,000-read cluster in < 60 s CPU-mode)."""
+"""SR-core scale profile: one cluster assembly wall-clock.
+
+Usage: python tools/profile_srcore.py [n_frags] [--cpu]
+
+Default platform is whatever jax picks (the attached TPU chip under the
+axon tunnel — the chip-in-the-loop measurement); --cpu forces the XLA CPU
+backend for the CPU-mode baseline rows recorded in BASELINE.md."""
 import sys, time
 sys.path.insert(0, "/root/repo")
 import numpy as np
-import jax; jax.config.update("jax_platforms", "cpu")
+import jax
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+print("platform:", jax.devices()[0].platform, flush=True)
 from hylight_tpu.config import Config, OverlapConfig, SRCoreConfig, CorrectConfig
 from hylight_tpu.io.readset import ReadSet, revcomp_codes
 from hylight_tpu.assembly.srcore import sr_assemble
 
-n_frags = int(sys.argv[1]) if len(sys.argv) > 1 else 2500   # 2 reads/frag
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+n_frags = int(args[0]) if args else 2500   # 2 reads/frag
 rng = np.random.default_rng(9)
 G = n_frags * 60 // 2 + 600   # ~PE tiling every 60bp over both strains
 genome = rng.integers(0, 4, size=G).astype(np.uint8)
