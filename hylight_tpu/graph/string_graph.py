@@ -134,60 +134,80 @@ def overlaps_to_arcs(table: OverlapTable, n_reads: int, *,
 
 
 def transitive_reduction(arcs: ArcSet, fuzz: int = 10) -> ArcSet:
-    """Myers-style transitive reduction (asg_arc_del_trans semantics).
-
-    Arc v->x is reduced iff some w in N(v) has an arc w->x with
-    l(v->w) + l(w->x) <= max_l(v) + fuzz. Vectorized as a join of arc pairs
-    on the middle vertex followed by a key lookup — no per-vertex loops.
-    """
+    """Myers-style transitive reduction with the EXACT asg_arc_del_trans
+    semantics (miniasm ``asg.c:148-187``): per vertex, out-neighbors are
+    marked in-play, then processed in arc-length order — an already-
+    eliminated middle does NOT propagate further — and a 2-hop target x is
+    eliminated when ``l(v->w) + l(w->x) <= max_l(v) + fuzz``.  Runs in
+    native C++ (graphcore.hl_transitive_reduction, linear constants at
+    metagenome arc counts); the python fallback is the same per-vertex
+    algorithm."""
     if len(arcs.v) == 0:
         return arcs
     a = arcs.sort()
     start, count = a.out_index()
     NV = a.n_vtx
 
-    # longest outgoing arc per vertex (+fuzz): arcs sorted by (v,l)
-    last = start + np.maximum(count - 1, 0)
-    Lmax = np.zeros(NV, dtype=np.int64)
-    has = count > 0
-    Lmax[has] = a.l[last[has]] + fuzz
-
-    # join: for every arc e1=(v,w), pair with every arc e2=(w,x)
-    deg_w = count[a.w]
-    off = np.repeat(np.arange(len(a.v)), deg_w)       # e1 index per pair
-    cs = np.cumsum(deg_w)
-    within = np.arange(int(cs[-1]) if len(cs) else 0) \
-        - np.repeat(cs - deg_w, deg_w)
-    e2 = start[a.w][off] + within
-    vv, xx = a.v[off], a.w[e2]
-    tot = a.l[off].astype(np.int64) + a.l[e2]
-    cand = (tot <= Lmax[vv]) & (xx != vv)
-
-    # does arc (vv, xx) exist? key lookup against sorted arc keys
-    keys = a.v * (2 * NV) + a.w          # sorted (a sorted by v, w not — but
-    order = np.argsort(keys, kind="stable")
-    skeys = keys[order]
-    pos = np.searchsorted(skeys, vv[cand] * (2 * NV) + xx[cand])
-    pos = np.clip(pos, 0, len(skeys) - 1)
-    hit = skeys[pos] == vv[cand] * (2 * NV) + xx[cand]
-
-    reduced = np.zeros(len(a.v), dtype=bool)
-    # all duplicate (v,x) arcs share the key; mark every arc with that key
-    hit_keys = (vv[cand] * (2 * NV) + xx[cand])[hit]
-    lo = np.searchsorted(skeys, hit_keys, side="left")
-    hi = np.searchsorted(skeys, hit_keys, side="right")
-    # expand [lo, hi) ranges (ranges are tiny: duplicate arcs are rare)
-    span = hi - lo
-    if span.sum() > 0:
-        cs2 = np.cumsum(span)
-        within2 = np.arange(int(cs2[-1])) - np.repeat(cs2 - span, span)
-        tgt = np.repeat(lo, span) + within2
-        reduced[order[tgt]] = True
+    reduced = None
+    lib = _native_lib()
+    if lib is not None and hasattr(lib, "hl_transitive_reduction"):
+        import ctypes
+        w64 = np.ascontiguousarray(a.w, dtype=np.int64)
+        l32 = np.ascontiguousarray(a.l, dtype=np.int32)
+        st = np.ascontiguousarray(start, dtype=np.int64)
+        ct = np.ascontiguousarray(count, dtype=np.int64)
+        out = np.zeros(len(a.v), dtype=np.uint8)
+        lib.hl_transitive_reduction.restype = ctypes.c_longlong
+        lib.hl_transitive_reduction.argtypes = \
+            [ctypes.c_void_p] * 4 + [ctypes.c_longlong] * 2 + [ctypes.c_void_p]
+        lib.hl_transitive_reduction(
+            st.ctypes.data_as(ctypes.c_void_p),
+            ct.ctypes.data_as(ctypes.c_void_p),
+            w64.ctypes.data_as(ctypes.c_void_p),
+            l32.ctypes.data_as(ctypes.c_void_p),
+            NV, int(fuzz), out.ctypes.data_as(ctypes.c_void_p))
+        reduced = out.astype(bool)
+    if reduced is None:
+        reduced = np.zeros(len(a.v), dtype=bool)
+        mark = np.zeros(NV, dtype=np.int8)
+        w_arr, l_arr = a.w, a.l
+        for v in range(NV):
+            nv = int(count[v])
+            if nv == 0:
+                continue
+            s = int(start[v])
+            nbrs = w_arr[s:s + nv]
+            mark[nbrs] = 1
+            L = int(l_arr[s + nv - 1]) + fuzz
+            for i in range(nv):
+                ww = int(nbrs[i])
+                if mark[ww] != 1:
+                    continue
+                s2, n2 = int(start[ww]), int(count[ww])
+                li = int(l_arr[s + i])
+                for j in range(n2):
+                    if int(l_arr[s2 + j]) + li > L:
+                        break
+                    x = int(w_arr[s2 + j])
+                    if mark[x]:
+                        mark[x] = 2
+            for i in range(nv):
+                t = int(nbrs[i])
+                if mark[t] == 2:
+                    reduced[s + i] = True
+                # reset INSIDE the loop (asg.c:181-183): with duplicate
+                # arcs to one target only the FIRST (shortest) is deleted
+                mark[t] = 0
 
     n_red = int(reduced.sum())
     if n_red:
         log.info("[G::trans_reduce] removed %d arcs", n_red)
     return a.select(~reduced)
+
+
+def _native_lib():
+    from hylight_tpu import native
+    return native.load()
 
 
 def cut_tips(arcs: ArcSet, max_ext: int = 1) -> Tuple[ArcSet, np.ndarray]:

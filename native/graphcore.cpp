@@ -228,6 +228,44 @@ void fisher_yates(std::vector<T>& v, XorShift& rng) {
 
 extern "C" {
 
+// Myers-style transitive reduction with the EXACT asg_arc_del_trans
+// in-play/eliminated semantics (miniasm asg.c:148-187): per vertex v,
+// neighbors are marked in-play; neighbors are processed in arc-length
+// order and SKIPPED once eliminated; a 2-hop x is eliminated when
+// l(v->w) + l(w->x) <= max_l(v) + fuzz.  Arcs must arrive as a CSR
+// sorted by (v, l ascending).  reduced_out[e] = 1 for reduced arcs;
+// returns the reduction count.
+int64_t hl_transitive_reduction(const int64_t* start, const int64_t* count,
+                                const int64_t* w, const int32_t* l,
+                                int64_t n_vtx, int64_t fuzz,
+                                uint8_t* reduced_out) {
+  std::vector<uint8_t> mark(n_vtx, 0);
+  int64_t n_red = 0;
+  for (int64_t v = 0; v < n_vtx; v++) {
+    int64_t nv = count[v];
+    if (nv == 0) continue;
+    const int64_t* av_w = w + start[v];
+    const int32_t* av_l = l + start[v];
+    for (int64_t i = 0; i < nv; i++) mark[av_w[i]] = 1;
+    int64_t L = (int64_t)av_l[nv - 1] + fuzz;
+    for (int64_t i = 0; i < nv; i++) {
+      int64_t ww = av_w[i];
+      if (mark[ww] != 1) continue;
+      int64_t nw = count[ww];
+      const int64_t* aw_w = w + start[ww];
+      const int32_t* aw_l = l + start[ww];
+      for (int64_t j = 0;
+           j < nw && (int64_t)aw_l[j] + av_l[i] <= L; j++)
+        if (mark[aw_w[j]]) mark[aw_w[j]] = 2;
+    }
+    for (int64_t i = 0; i < nv; i++) {
+      if (mark[av_w[i]] == 2) { reduced_out[start[v] + i] = 1; n_red++; }
+      mark[av_w[i]] = 0;
+    }
+  }
+  return n_red;
+}
+
 // Streaming per-read overlap cap (filter_trans_ovlp_inline_v4.py:74-83):
 // edges arrive score-descending; keep an edge iff BOTH endpoints are below
 // the cap, then charge both. keep_out[e] = 1 for kept edges.

@@ -105,3 +105,45 @@ def test_end_to_end_layout(rng):
     assert got in ref or rc in ref or ref in got or ref in rc, \
         f"unitig len {len(got)} does not match genome"
     assert len(got) >= 3900
+
+
+def test_transitive_reduction_native_matches_python_and_asg_semantics():
+    """Native hl_transitive_reduction == the python fallback on random
+    graphs, and both implement asg.c's in-play rule: an ELIMINATED middle
+    does not propagate (v->c survives when only the eliminated b reaches
+    it within bound)."""
+    import numpy as np
+    import hylight_tpu.graph.string_graph as SG
+
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        n_reads = 40
+        m = 160
+        v = rng.integers(0, 2 * n_reads, m)
+        w = rng.integers(0, 2 * n_reads, m)
+        keep = v != w
+        v, w = v[keep], w[keep]
+        l = rng.integers(1, 500, len(v)).astype(np.int32)
+        arcs = SG.ArcSet(v.astype(np.int64), w.astype(np.int64), l,
+                         l.copy(), n_reads)
+        got_native = SG.transitive_reduction(arcs, fuzz=10)
+        lib_load = SG._native_lib
+        try:
+            SG._native_lib = lambda: None
+            got_py = SG.transitive_reduction(arcs, fuzz=10)
+        finally:
+            SG._native_lib = lib_load
+        key = lambda a: sorted(zip(a.v.tolist(), a.w.tolist(), a.l.tolist()))
+        assert key(got_native) == key(got_py)
+
+    # in-play rule: v->a (10), v->b (20), v->c (40); a->b (10) eliminates
+    # b; b->c (20) must NOT eliminate c (b is no longer in-play), and a has
+    # no arc to c
+    v_ = np.array([0, 0, 0, 2, 4], dtype=np.int64)
+    w_ = np.array([2, 4, 6, 4, 6], dtype=np.int64)
+    l_ = np.array([10, 20, 40, 10, 20], dtype=np.int32)
+    arcs = SG.ArcSet(v_, w_, l_, l_.copy(), 4)
+    red = SG.transitive_reduction(arcs, fuzz=10)
+    kept = set(zip(red.v.tolist(), red.w.tolist()))
+    assert (0, 4) not in kept          # v->b eliminated via a
+    assert (0, 6) in kept              # v->c SURVIVES (in-play rule)
