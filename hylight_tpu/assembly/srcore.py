@@ -568,7 +568,9 @@ def clique_iteration(ws: WorkingSet, cfg: Config, *, min_overlap_len: int,
                      trim: bool, merge_eps: float = 0.0,
                      thresholds: Optional[EvidenceThresholds] = None,
                      diploid: bool = False,
-                     stats: Optional[List[dict]] = None) -> WorkingSet:
+                     stats: Optional[List[dict]] = None,
+                     dump_dir: Optional[str] = None,
+                     dump_tag: str = "") -> WorkingSet:
     """One clique-based iteration (EC when trim=True).
 
     Graph-cleaning schedule mirrors one ViralQuasispecies invocation
@@ -605,6 +607,8 @@ def clique_iteration(ws: WorkingSet, cfg: Config, *, min_overlap_len: int,
         if back.any():
             keep = keep.copy()
             keep[g.eidx[back]] = False
+    if dump_dir:
+        _dump_graphs(dump_dir, dump_tag, table, labels, keep, ws)
     idx = np.nonzero(keep)[0]
     edge_of = {(int(table.qid[e]), int(table.tid[e])): int(e) for e in idx}
     cliques = max_cliques(
@@ -756,7 +760,9 @@ def merge_iteration(ws: WorkingSet, cfg: Config, *, min_overlap_len: int,
                     remove_branches: bool = True,
                     remove_tips: bool = False, max_tip_len: int = 150,
                     reoverlap: bool = True,
-                    stats: Optional[List[dict]] = None
+                    stats: Optional[List[dict]] = None,
+                    dump_dir: Optional[str] = None,
+                    dump_tag: str = ""
                     ) -> Tuple[WorkingSet, int]:
     """Greedy disjoint-edge merging (mergeAlongEdges path).
 
@@ -780,6 +786,8 @@ def merge_iteration(ws: WorkingSet, cfg: Config, *, min_overlap_len: int,
                            merge_eps=merge_eps, mate=ws.mate,
                            fr_pairs=ws.fr_layout)
     labels, keep0 = orient_reads(table, ws.n, admitted)
+    if dump_dir:
+        _dump_graphs(dump_dir, dump_tag, table, labels, keep0, ws)
     offsets_rel = _plus_frame_offsets(table, labels)
     edge_of = {(int(table.qid[e]), int(table.tid[e])): int(e)
                for e in np.nonzero(keep0)[0]}
@@ -1148,6 +1156,24 @@ def join_mates(ws: WorkingSet, cfg: Config, min_overlap_len: int,
 # ---------------------------------------------------------------------------
 # the per-cluster driver (polyte.tune_params.run_savage_assembly equivalent)
 
+def _dump_graphs(dump_dir: str, tag: str, table: OverlapTable,
+                 labels: np.ndarray, keep: np.ndarray,
+                 ws: WorkingSet) -> None:
+    """VQ debug artifacts per iteration: digraph.txt + graph.fastg
+    (OverlapGraph.cpp:388,412; --graph_only comparison mode). Opt-in via
+    SRCoreConfig.graph_dumps."""
+    import os
+
+    from hylight_tpu.graph.gfa import digraph_text, fastg_text
+
+    os.makedirs(dump_dir, exist_ok=True)
+    g = sr_graph.build_digraph(table, labels, keep, ws.n)
+    with open(os.path.join(dump_dir, f"digraph{tag}.txt"), "w") as f:
+        f.write(digraph_text(g))
+    with open(os.path.join(dump_dir, f"graph{tag}.fastg"), "w") as f:
+        f.write(fastg_text(g, ws.reads, labels))
+
+
 def sr_assemble(reads: ReadSet, cfg: Config,
                 use_branch_reduction: bool = True,
                 stats: Optional[List[dict]] = None) -> ReadSet:
@@ -1171,7 +1197,8 @@ def sr_assemble(reads: ReadSet, cfg: Config,
     ws = clique_iteration(ws, cfg, min_overlap_len=sc.min_overlap_len_ec,
                           edge_threshold=sc.edge_threshold_ec,
                           min_clique_size=sc.min_clique_size, trim=True,
-                          stats=stats)
+                          stats=stats, dump_dir=sc.graph_dumps,
+                          dump_tag="_it0")
     if has_pe:
         ws, _ = join_mates(ws, cfg, sc.min_overlap_len)
 

@@ -153,6 +153,9 @@ class SRCoreConfig:
     accuracy: float = 1e-3         # min_ev_table.py binomial tail accuracy
     max_tip_len: int = 150
     max_iterations: int = 20
+    graph_dumps: "str | None" = None  # write VQ digraph.txt/graph.fastg
+    #                                   debug dumps per iteration here
+    #                                   (OverlapGraph.cpp:388,412)
     careful: bool = True           # careful_diploid (VQ default true,
     #                                ViralQuasispecies.cpp:97): branch-
     #                                reduction components neighboring an

@@ -54,3 +54,41 @@ def arcs_to_gfa(arcs: ArcSet, reads: ReadSet) -> str:
         lines.append(f"L\t{nv}\t{'-' if v & 1 else '+'}\t{nw}\t"
                      f"{'-' if w & 1 else '+'}\t{ol}M")
     return "\n".join(lines) + "\n"
+
+
+def digraph_text(g) -> str:
+    """VQ ``digraph.txt`` debug dump: one ``u\\tv`` line per directed edge
+    (``OverlapGraph.cpp:388-409`` writeDiGraphToFile; used by the
+    reference's --graph_only comparison mode)."""
+    return "".join(f"{int(u)}\t{int(v)}\n" for u, v in zip(g.u, g.v))
+
+
+def fastg_text(g, reads: ReadSet, labels=None) -> str:
+    """VQ ``graph.fastg`` debug dump (``OverlapGraph.cpp:412-465``):
+    ``>id:adj,...;`` header + the vertex's sequence per node. The
+    reference writes forward entries [0, n) and reverse-complement entries
+    [readcount, readcount+n); here vertex id = read id (+n for rows whose
+    orientation label is 1, in which case the revcomp sequence is
+    printed), adjacency from the kept directed edges."""
+    import numpy as np
+
+    from hylight_tpu.io.readset import revcomp_codes
+
+    n = reads.n
+    lab = labels if labels is not None else np.zeros(n, dtype=np.int8)
+    adj = {}
+    for u, v in zip(g.u, g.v):
+        adj.setdefault(int(u), []).append(int(v))
+    out = ["#FASTG:begin;",
+           '#FASTG:version=1.0:assembly_name="hylight_tpu";']
+    for r in range(n):
+        vid = r + (n if lab[r] == 1 else 0)
+        targets = ",".join(str(t + (n if lab[t] == 1 else 0))
+                           for t in adj.get(r, []))
+        out.append(f">{vid}:{targets};" if targets else f">{vid};")
+        codes = reads.get(r)
+        if lab[r] == 1:
+            codes = revcomp_codes(codes)
+        out.append(decode_seq(codes))
+    out.append("#FASTG:end;")
+    return "\n".join(out) + "\n"

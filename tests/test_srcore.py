@@ -116,3 +116,22 @@ def test_sr_assemble_iteration_stats(rng):
         assert r["edges_kept"] <= r["edges_admitted"] <= r["overlaps"]
     # iteration 1 is the EC clique pass over the raw reads
     assert rows[0]["kind"] == "clique" and rows[0]["vertices"] == rs.n
+
+
+def test_graph_dumps_artifacts(rng, tmp_path):
+    """Opt-in VQ debug dumps (OverlapGraph.cpp:388-465): digraph.txt with
+    one u\\tv line per kept directed edge, graph.fastg with >id:adj; +
+    sequence entries."""
+    g = rng.integers(0, 4, size=900).astype(np.uint8)
+    rs = ReadSet.from_seqs(_reads_from(g, 150, 25))
+    import dataclasses
+    cfg = CFG.replace(sr_core=dataclasses.replace(
+        CFG.sr_core, graph_dumps=str(tmp_path)))
+    srcore.sr_assemble(rs, cfg, use_branch_reduction=False)
+    dg = (tmp_path / "digraph_it0.txt").read_text()
+    assert dg and all(len(l.split("\t")) == 2 for l in dg.splitlines())
+    fg = (tmp_path / "graph_it0.fastg").read_text().splitlines()
+    assert fg[0] == "#FASTG:begin;" and fg[-1] == "#FASTG:end;"
+    assert any(l.startswith(">") and l.endswith(";") for l in fg)
+    seq_lines = [l for l in fg if l and not l.startswith(("#", ">"))]
+    assert all(set(l) <= set("ACGTN") for l in seq_lines)
