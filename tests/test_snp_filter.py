@@ -89,3 +89,49 @@ def test_snp_events_inside_indel_gaps():
     ev_q = t.mm_q[0][t.mm_mask[0]]
     # the substitution sits at r1 coordinate 610 (r2 609 + 1 deleted base)
     assert 610 in set(ev_q.tolist()), sorted(ev_q.tolist())
+
+
+def test_snp_event_cap_saturation_is_conservative():
+    """When an overlap has more mismatch events than the emitted slots
+    (mm_n > mm_mask.sum(), e.g. raw --low_q reads saturating the event
+    word budget), the pileup uses only the EMITTED events: the filter can
+    under-kill but never over-kill, and never reads fill slots."""
+    import numpy as np
+    from hylight_tpu.overlap.snp import snp_filter
+    from hylight_tpu.overlap.table import OverlapTable
+
+    m, S = 6, 8
+    mm_q = np.full((m, S), -1, np.int32)
+    mm_t = np.full((m, S), -1, np.int32)
+    mm_mask = np.zeros((m, S), bool)
+    # 6 overlaps of read pairs (0,i+1) over the same window; each SEES the
+    # same 4 SNP columns on read 0 but only 2 slots are emitted (budget),
+    # while mm_n reports the true 40 (heavy saturation)
+    for i in range(m):
+        mm_q[i, :2] = [100, 140]
+        mm_t[i, :2] = [100, 140]
+        mm_mask[i, :2] = True
+    z = np.zeros(m, np.int32)
+    table = OverlapTable(
+        qid=np.zeros(m, np.int32),
+        tid=np.arange(1, m + 1, dtype=np.int32),
+        strand=np.zeros(m, np.int8), qs=z, qe=z + 250, ts=z, te=z + 250,
+        qlen=z + 250, tlen=z + 250, matches=z + 200, columns=z + 250,
+        identity=np.full(m, 0.8, np.float32),
+        score=z.astype(np.float32), score2=z.astype(np.float32),
+        score3=z.astype(np.float32),
+        mm_q=mm_q, mm_t=mm_t,
+        mm_qb=np.zeros((m, S), np.int8), mm_tb=np.zeros((m, S), np.int8),
+        mm_mask=mm_mask)
+    keep = snp_filter(table, mc=3, max_frac=0.0025, long_reads=True)
+    # support at cols 100/140 on read 0 = 6 (>=mc) but contradiction = 0
+    # (all 6 overlaps agree) -> no confirmed SNP -> nothing killed
+    assert keep.all()
+    # make half the overlaps agree with read 0 (no events) -> support 3,
+    # contradiction 3 -> confirmed; only the 3 event-carrying rows killed
+    mm_mask2 = mm_mask.copy()
+    mm_mask2[3:] = False
+    import dataclasses
+    t2 = dataclasses.replace(table, mm_mask=mm_mask2)
+    keep2 = snp_filter(t2, mc=3, max_frac=0.0025, long_reads=True)
+    assert not keep2[:3].any() and keep2[3:].all()
