@@ -202,7 +202,49 @@ def transitive_reduction(arcs: ArcSet, fuzz: int = 10) -> ArcSet:
     n_red = int(reduced.sum())
     if n_red:
         log.info("[G::trans_reduce] removed %d arcs", n_red)
-    return a.select(~reduced)
+    out = a.select(~reduced)
+    if n_red:
+        # asg.c:188-190: del_trans ends with asg_cleanup + asg_symm —
+        # per-direction tie-breaks (fuzz, adjacency order, the duplicate-
+        # arc first-only quirk) can reduce v->w without its twin; the
+        # reference deletes the surviving lone arcs rather than keeping
+        # an asymmetric graph (which _MutGraph's passes must not see).
+        out = asg_symm_arcs(out)
+    return out
+
+
+def asg_symm_arcs(arcs: ArcSet) -> ArcSet:
+    """``asg_symm`` (asg.c:140-145): delete multi-arcs, then asymmetric arcs.
+
+    Multi-arc rule (asg_arc_del_multi, asg.c:104-121): per source vertex,
+    only the FIRST arc to each target in (v, l)-sorted adjacency order —
+    the shortest, i.e. largest-overlap, arc — survives. Asymmetric rule
+    (asg_arc_del_asymm, asg.c:124-138): an arc survives iff its twin
+    (w^1 -> v^1) is present among the survivors; one pass reaches the
+    symmetric fixpoint (a deletion only mirrors an already-missing twin).
+    """
+    a = arcs.sort()
+    E = len(a.v)
+    if E == 0:
+        return a
+    NV = a.n_vtx
+    key = a.v.astype(np.int64) * (2 * NV) + a.w
+    order = np.lexsort((np.arange(E), key))     # by (v, w), stable in (v, l)
+    ks = key[order]
+    new = np.ones(E, dtype=bool)
+    new[1:] = ks[1:] != ks[:-1]
+    first = np.zeros(E, dtype=bool)
+    first[order[new]] = True
+    n_multi = E - int(first.sum())
+    a = a.select(first)
+    keys = np.sort(a.v.astype(np.int64) * (2 * NV) + a.w)
+    twin = (a.w ^ 1).astype(np.int64) * (2 * NV) + (a.v ^ 1)
+    pos = np.clip(np.searchsorted(keys, twin), 0, len(keys) - 1)
+    sym = keys[pos] == twin
+    if n_multi or not sym.all():
+        log.info("[G::symm] removed %d multi + %d asymmetric arcs",
+                 n_multi, int((~sym).sum()))
+    return a.select(sym)
 
 
 def _native_lib():

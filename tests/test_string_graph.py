@@ -39,6 +39,39 @@ def test_transitive_reduction_triangle():
     assert (0, 2) in pairs and (2, 4) in pairs
 
 
+def test_transitive_reduction_resymmetrizes():
+    """asg.c:188-190: when per-direction tie-breaks reduce v->w but not its
+    twin, del_trans's trailing asg_symm deletes the surviving lone arc —
+    the output must be twin-symmetric (cut_tips_asg asserts it)."""
+    # forward: 0+ ->4-> 1+ ->6-> 2+ with shortcut 0+ ->10-> 2+ (reduced:
+    # 4+6 <= 10+fuzz0). twin side: 2- adjacency (1-,6),(0-,10); path cost
+    # 6 + l(1- -> 0-)=7 -> 13 > 10: twin NOT reduced by the scan.
+    edges = [(0, 2, 4, 100), (3, 1, 7, 100),
+             (2, 4, 6, 100), (5, 3, 6, 100),
+             (0, 4, 10, 100), (5, 1, 10, 100)]
+    arcs = _mk_arcs(edges, 3)
+    red = transitive_reduction(arcs, fuzz=0)
+    pairs = set(zip(red.v.tolist(), red.w.tolist()))
+    assert (0, 4) not in pairs           # reduced by the Myers scan
+    assert (5, 1) not in pairs           # lone twin killed by asg_symm
+    assert pairs == {(0, 2), (3, 1), (2, 4), (5, 3)}
+    # twin symmetry invariant (what _MutGraph requires)
+    assert all((w ^ 1, v ^ 1) in pairs for v, w in pairs)
+
+
+def test_asg_symm_arcs_multi_and_asymm():
+    """del_multi keeps the shortest duplicate per (v,w); del_asymm drops
+    arcs whose twin is absent (asg.c:104-138)."""
+    from hylight_tpu.graph.string_graph import asg_symm_arcs
+    edges = [(0, 2, 5, 100), (0, 2, 9, 60),   # duplicate: keep l=5
+             (3, 1, 5, 100),                  # twin of the kept dup
+             (2, 4, 6, 100)]                  # twin (5,3) missing -> drop
+    arcs = _mk_arcs(edges, 3)
+    out = asg_symm_arcs(arcs)
+    got = set(zip(out.v.tolist(), out.w.tolist(), out.l.tolist()))
+    assert got == {(0, 2, 5), (3, 1, 5)}
+
+
 def test_transitive_reduction_keeps_far_arcs():
     # shortcut longer than longest+fuzz must be kept
     edges = _sym([(0, 2, 100, 400), (2, 4, 100, 400), (0, 4, 300, 200)])
@@ -138,12 +171,17 @@ def test_transitive_reduction_native_matches_python_and_asg_semantics():
 
     # in-play rule: v->a (10), v->b (20), v->c (40); a->b (10) eliminates
     # b; b->c (20) must NOT eliminate c (b is no longer in-play), and a has
-    # no arc to c
-    v_ = np.array([0, 0, 0, 2, 4], dtype=np.int64)
-    w_ = np.array([2, 4, 6, 4, 6], dtype=np.int64)
-    l_ = np.array([10, 20, 40, 10, 20], dtype=np.int32)
+    # no arc to c. Twin arcs included (del_trans now ends with asg_symm, so
+    # the graph must be twin-symmetric); twin lengths are chosen so the
+    # mirror scans reduce symmetrically: l'(7,5)=45 makes the 7->5->1 path
+    # exceed L(7)=40+10 and the twin of v->c survives like v->c does.
+    v_ = np.array([0, 0, 0, 2, 4, 3, 5, 7, 5, 7], dtype=np.int64)
+    w_ = np.array([2, 4, 6, 4, 6, 1, 1, 1, 3, 5], dtype=np.int64)
+    l_ = np.array([10, 20, 40, 10, 20, 10, 20, 40, 10, 45], dtype=np.int32)
     arcs = SG.ArcSet(v_, w_, l_, l_.copy(), 4)
     red = SG.transitive_reduction(arcs, fuzz=10)
     kept = set(zip(red.v.tolist(), red.w.tolist()))
     assert (0, 4) not in kept          # v->b eliminated via a
+    assert (5, 1) not in kept          # ... and its twin, by the mirror scan
     assert (0, 6) in kept              # v->c SURVIVES (in-play rule)
+    assert (7, 1) in kept              # twin survives too (no symm kill)
