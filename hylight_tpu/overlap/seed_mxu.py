@@ -122,15 +122,32 @@ def shared_count_matrix(ms: MinimizerSet, *, bucket_bits: int,
     Buckets whose block-wide count exceeds max_occ are zeroed (the repeat
     filter of seed.build_index at bucket granularity)."""
     B, M = ms.hash.shape
-    nbuck = 1 << bucket_bits
     slot = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1)
     valid = (slot < ms.count[:, None]) & (ms.pos >= 0)
+    h = jnp.where(valid, ms.hash, UINT_MAX)
+    return shared_count_matrix_rows(h, bucket_bits=bucket_bits,
+                                    max_occ=max_occ)
+
+
+def shared_count_matrix_rows(h: jax.Array, *, bucket_bits: int,
+                             max_occ: int):
+    """shared_count_matrix over explicit hash rows (UINT_MAX = empty slot).
+
+    Used by mxu_candidates with the JOIN-CAPPED rows: the scatter-add
+    histogram is the stage's cost (the ~7-10 ms/M-update scalar-core law),
+    so building it from the capped columns cuts the update count by the
+    retention fraction; C then counts shared minimizers among the kept
+    (smallest-hash) subsample, consistent with what the per-pair join sees,
+    and the mu/threshold math is exact for the kept counts."""
+    B, M = h.shape
+    nbuck = 1 << bucket_bits
+    valid = h != UINT_MAX
     # LOW bits: minimizer hashes are window MINIMA, so their high bits are
     # biased toward zero (a top-bits bucket scheme collapses most entries
     # into a few buckets); the low bits of a murmur-mixed value stay
     # uniform even conditioned on the value being a window minimum
     # (minima sit near 2^32/w >> 2^bucket_bits).
-    bucket = (ms.hash & np.uint32((1 << bucket_bits) - 1)).astype(jnp.int32)
+    bucket = (h & np.uint32((1 << bucket_bits) - 1)).astype(jnp.int32)
     idx = jnp.where(valid, bucket, nbuck)          # OOB updates are dropped
     rows = jax.lax.broadcasted_iota(jnp.int32, (B, M), 0)
     A = jnp.zeros((B, nbuck), jnp.float32).at[rows, idx].add(
@@ -177,23 +194,8 @@ def mxu_candidates(ms: MinimizerSet, lens: jax.Array, *,
     P, A = max_pairs, anchors_per_pair
     assert max_len < (1 << 15), "mxu path needs read len < 32768"
 
-    # ---- stage 1: pair finding on the MXU
-    C, mu = shared_count_matrix(ms, bucket_bits=bucket_bits,
-                                max_occ=max_occ)
-    thr = np.float32(min_anchors + 2.0) + np.float32(margin) * jnp.sqrt(mu)
-    ii = jnp.arange(B, dtype=jnp.int32)
-    upper = ii[:, None] < ii[None, :]
-    good = upper & ((C - mu) >= thr)
-    # NOTE on overflow bias: when n_pairs > max_pairs the first max_pairs
-    # entries in flat row-major order are kept, so HIGH-qid reads lose all
-    # their candidates (the sort path drops by window score instead). The
-    # engine detects n_winners > max_pairs and RETRIES the block at a
-    # bucketed cap sized from the exact count (engine.py whole-set path).
-    pidx, pok, n_pairs = _first_k_true(good.reshape(-1), P)
-    pq = jnp.where(pok, pidx // B, 0)
-    pt = jnp.where(pok, pidx % B, 0)
-
-    # ---- stage 2: per-pair hash-merge join
+    # ---- stage 0: per-read hash sort + join-width cap (shared by the
+    # count matrix and the per-pair join)
     slot = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1)
     valid = (slot < ms.count[:, None]) & (ms.pos >= 0)
     h = jnp.where(valid, ms.hash, UINT_MAX)
@@ -218,6 +220,26 @@ def mxu_candidates(ms: MinimizerSet, lens: jax.Array, *,
         if Lj < Lp:
             h, pay = h[:, :Lj], pay[:, :Lj]
             Lp = Lj
+
+    # ---- stage 1: pair finding on the MXU (histogram over the CAPPED
+    # rows: the scatter-add is the cost; C/mu/threshold are consistent —
+    # both stages see the same smallest-hash subsample)
+    C, mu = shared_count_matrix_rows(h, bucket_bits=bucket_bits,
+                                     max_occ=max_occ)
+    thr = np.float32(min_anchors + 2.0) + np.float32(margin) * jnp.sqrt(mu)
+    ii = jnp.arange(B, dtype=jnp.int32)
+    upper = ii[:, None] < ii[None, :]
+    good = upper & ((C - mu) >= thr)
+    # NOTE on overflow bias: when n_pairs > max_pairs the first max_pairs
+    # entries in flat row-major order are kept, so HIGH-qid reads lose all
+    # their candidates (the sort path drops by window score instead). The
+    # engine detects n_winners > max_pairs and RETRIES the block at a
+    # bucketed cap sized from the exact count (engine.py whole-set path).
+    pidx, pok, n_pairs = _first_k_true(good.reshape(-1), P)
+    pq = jnp.where(pok, pidx // B, 0)
+    pt = jnp.where(pok, pidx % B, 0)
+
+    # ---- stage 2: per-pair hash-merge join
 
     hq, payq = h[pq], pay[pq]                       # [P, Lp] row gathers
     ht, payt = h[pt], pay[pt] | 1                   # src bit: target = 1
