@@ -568,6 +568,7 @@ def clique_iteration(ws: WorkingSet, cfg: Config, *, min_overlap_len: int,
                      trim: bool, merge_eps: float = 0.0,
                      thresholds: Optional[EvidenceThresholds] = None,
                      diploid: bool = False,
+                     reoverlap: bool = True,
                      stats: Optional[List[dict]] = None,
                      dump_dir: Optional[str] = None,
                      dump_tag: str = "") -> WorkingSet:
@@ -581,7 +582,7 @@ def clique_iteration(ws: WorkingSet, cfg: Config, *, min_overlap_len: int,
     transitive edges plus shorter-overlap branches around them
     (remove_trans=1 & branch_reduction>0), then read-evidence branch
     reduction, then back edges."""
-    table = _overlaps(ws, cfg, min_overlap_len)
+    table = _overlaps(ws, cfg, min_overlap_len, reoverlap=reoverlap)
     admitted = admit_edges(table, ws.reads,
                            min_overlap_len=min_overlap_len,
                            edge_threshold=edge_threshold,
@@ -1209,13 +1210,17 @@ def sr_assemble(reads: ReadSet, cfg: Config,
         else None
     stable = 0
     its = 0
+    # reoverlap=False: reference-exact overlap sourcing — every iteration
+    # after the first consumes FNO1 projection + nonedge carry only, like
+    # polyte's loop reading the previous VQ run's overlaps.txt (--FNO=1)
+    reovl = sc.reoverlap
     while stable < 2 and its < sc.max_iterations:
         while stable < 2 and its < sc.max_iterations:
             prev = ws.n
             ws, n_merged = merge_iteration(
                 ws, cfg, min_overlap_len=sc.min_overlap_len,
                 edge_threshold=sc.edge_threshold, merge_eps=1e-4,
-                stats=stats)
+                reoverlap=reovl, stats=stats)
             if has_pe:
                 ws, nj = join_mates(ws, cfg, sc.min_overlap_len)
                 n_merged += nj
@@ -1225,7 +1230,8 @@ def sr_assemble(reads: ReadSet, cfg: Config,
         ws = clique_iteration(ws, cfg, min_overlap_len=sc.min_overlap_len,
                               edge_threshold=sc.edge_threshold,
                               min_clique_size=2, trim=False, merge_eps=1e-4,
-                              thresholds=thresholds, stats=stats)
+                              thresholds=thresholds, reoverlap=reovl,
+                              stats=stats)
         if has_pe:
             ws, _ = join_mates(ws, cfg, sc.min_overlap_len)
         its += 1
@@ -1286,19 +1292,25 @@ def diploid_stage(contigs: ReadSet, cfg: Config,
 
     stable = 0
     its = 0
+    # the reference's diploid stage re-runs sfo ONCE on the contigs
+    # (tune_params.py:393-398) — the first iteration here re-overlaps
+    # regardless (fresh WorkingSet has no proj/carry), later ones follow
+    # sc.reoverlap like the main loop
+    reovl = sc.reoverlap
     while stable < 2 and its < sc.max_iterations:
         prev = ws.n
         ws = clique_iteration(ws, cfg, min_overlap_len=mol,
                               edge_threshold=1.0, min_clique_size=2,
                               trim=False, merge_eps=sc.seq_err,
-                              thresholds=thresholds, diploid=True)
+                              thresholds=thresholds, diploid=True,
+                              reoverlap=reovl)
         its += 1
         stable = stable + 1 if ws.n == prev else 0
         while stable < 2 and its < sc.max_iterations:
             prev = ws.n
             ws, n_merged = merge_iteration(
                 ws, cfg, min_overlap_len=mol, edge_threshold=1.0,
-                merge_eps=sc.seq_err)
+                merge_eps=sc.seq_err, reoverlap=reovl)
             its += 1
             stable = stable + 1 if (ws.n == prev or n_merged == 0) else 0
 

@@ -99,6 +99,33 @@ def test_sr_assemble_two_strains(rng):
     assert hits_a >= 1 and hits_b >= 1
 
 
+def test_sr_assemble_fno_mode_two_strains(rng):
+    """reoverlap=False (reference-exact sourcing: overlaps computed once,
+    later iterations live off FNO1 projection + nonedge carry, polyte's
+    overlaps.txt contract) still elongates and keeps strains separate."""
+    gA = rng.integers(0, 4, size=900).astype(np.uint8)
+    gB = gA.copy()
+    snp = np.arange(40, 880, 45)
+    gB[snp] = (gB[snp] + 1) % 4
+    reads = _reads_from(gA, 150, 15) + _reads_from(gB, 150, 15)
+    rs = ReadSet.from_seqs(reads)
+    import dataclasses
+    cfg = CFG.replace(sr_core=dataclasses.replace(CFG.sr_core,
+                                                  reoverlap=False))
+    contigs = srcore.sr_assemble(rs, cfg, use_branch_reduction=False)
+    sa, sb = decode_seq(gA), decode_seq(gB)
+    longest = 0
+    for i in range(contigs.n):
+        if int(contigs.lengths[i]) < 400:
+            continue
+        s = decode_seq(contigs.get(i))
+        rc = decode_seq(revcomp_codes(contigs.get(i)))
+        assert s in sa or rc in sa or s in sb or rc in sb, \
+            f"mosaic contig {i}"
+        longest = max(longest, int(contigs.lengths[i]))
+    assert longest > 600, f"no elongation in FNO mode: longest={longest}"
+
+
 def test_sr_assemble_iteration_stats(rng):
     """Per-iteration observability rows (ViralQuasispecies.cpp:471-489
     contract): every clique/merge iteration records vertices, overlaps,
