@@ -241,34 +241,46 @@ def mxu_candidates(ms: MinimizerSet, lens: jax.Array, *,
 
     # ---- stage 2: per-pair hash-merge join
 
-    hq, payq = h[pq], pay[pq]                       # [P, Lp] row gathers
-    ht, payt = h[pt], pay[pt] | 1                   # src bit: target = 1
-    hq = jnp.where(pok[:, None], hq, UINT_MAX)
-    ht = jnp.where(pok[:, None], ht, UINT_MAX)
-    # measured on v5e: XLA's batched row sort (31 ms at [16K, 4096]) beats
-    # the explicit 12-stage bitonic merge network (57 ms) — the rows are
-    # pre-sorted halves, but the native sort wins anyway
-    key, payc = jax.lax.sort(
-        (jnp.concatenate([hq, ht], axis=1),
-         jnp.concatenate([payq, payt], axis=1)),
+    # packed join key: ONE uint32 per entry = (low-bit hash slice | pos |
+    # strand | src), so the pair-level sort is 1-operand (a 2-op (key,
+    # payload) sort was ~2x the cost at this width) and the payload concat
+    # volume disappears. LOW hash bits again (window minima concentrate
+    # near small values — top bits are mostly zero and would collapse the
+    # runs); truncating the hash to HB bits admits ~(2Lp)^2/2^(HB+1)
+    # false-equal collisions per pair (~16 at 8 kb reads), which land as
+    # off-diagonal noise the trimmed-mean consensus + base-level extend
+    # already reject.
+    pos_bits = int(max_len - 1).bit_length()
+    HB = 32 - 2 - pos_bits
+    packed = ((h & np.uint32((1 << HB) - 1)) << np.uint32(2 + pos_bits)) \
+        | pay.astype(jnp.uint32)
+    packed = jnp.where(h == UINT_MAX, UINT_MAX, packed)
+    kq = packed[pq]                                 # [P, Lp] row gathers
+    kt = packed[pt] | np.uint32(1)                  # src bit: target = 1
+    kq = jnp.where(pok[:, None], kq, UINT_MAX)
+    kt = jnp.where(pok[:, None], kt, UINT_MAX)
+    (key,) = jax.lax.sort(
+        (jnp.concatenate([kq, kt], axis=1),),
         num_keys=1, dimension=1, is_stable=False)
 
     # nearest different-source partner within the equal-hash run
     real = key != UINT_MAX
+    hash_shift = np.uint32(2 + pos_bits)
     m = []
     nxt = []
     for d in (1, 2, 3):
         kd = _row_next(key, d, UINT_MAX)
-        pd = _row_next(payc, d, 0)
-        m.append(real & (key == kd) & (((payc ^ pd) & 1) == 1))
-        nxt.append(pd)
+        m.append(real & (((key ^ kd) >> hash_shift) == 0)
+                 & (((key ^ kd) & 1) == 1))
+        nxt.append(kd)
     anc_ok = m[0] | m[1] | m[2]
     pd = jnp.where(m[0], nxt[0], jnp.where(m[1], nxt[1], nxt[2]))
-    self_t = (payc & 1) == 1
-    q_pay = jnp.where(self_t, pd, payc)
-    t_pay = jnp.where(self_t, payc, pd)
-    qpos = q_pay >> 2
-    tpos = t_pay >> 2
+    self_t = (key & 1) == 1
+    q_pay = jnp.where(self_t, pd, key).astype(jnp.int32)
+    t_pay = jnp.where(self_t, key, pd).astype(jnp.int32)
+    pos_mask = np.int32((1 << pos_bits) - 1)
+    qpos = (q_pay >> 2) & pos_mask
+    tpos = (t_pay >> 2) & pos_mask
     astr = ((q_pay >> 1) ^ (t_pay >> 1)) & 1
 
     # ---- stage 3: strand majority + trimmed-mean diagonal consensus

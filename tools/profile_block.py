@@ -57,9 +57,24 @@ def timeit(name, f, *a):
 
 ms = timeit("minimizers", lambda s,l: minimizers(s,l,k=15,w=w,cap=mcap), seqs, lens)
 if "--mxu" in sys.argv:
-    from hylight_tpu.overlap.seed_mxu import mxu_candidates, shared_count_matrix
-    timeit("mxu_count_matrix", lambda m: shared_count_matrix(
-        m, bucket_bits=15, max_occ=max_occ), ms)
+    import jax.numpy as jnp
+    from hylight_tpu.overlap.seed_mxu import (
+        UINT_MAX, mxu_candidates, shared_count_matrix_rows)
+
+    def _capped_hist(m):
+        # what mxu_candidates stage 1 actually runs: histogram over the
+        # join-capped (smallest-hash) columns of the row-sorted hashes
+        B, M = m.hash.shape
+        slot = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1)
+        valid = (slot < m.count[:, None]) & (m.pos >= 0)
+        h = jnp.where(valid, m.hash, UINT_MAX)
+        (h,) = jax.lax.sort((h,), num_keys=1, dimension=1, is_stable=False)
+        Lp = 1 << (M - 1).bit_length()
+        Lj = 1 << (max(256, int(Lp * 0.5)) - 1).bit_length()
+        h = h[:, :min(Lj, M)]
+        return shared_count_matrix_rows(h, bucket_bits=15, max_occ=max_occ)
+
+    timeit("mxu_count_matrix", _capped_hist, ms)
     cand = timeit("mxu_candidates", lambda m,l: mxu_candidates(
         m,l.astype(jnp.int32),bandwidth=64,min_anchors=4,max_pairs=max_pairs,
         anchors_per_pair=256,max_occ=max_occ,k=15,n_reads=n_reads,

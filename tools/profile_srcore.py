@@ -44,6 +44,12 @@ cfg = Config().replace(
                          min_clique_size=2, hap_cov=8.0, insert_size=450.0,
                          average_read_len=150.0, max_iterations=6),
     correct=CorrectConfig(skip=True))
+if "--fno" in sys.argv:
+    # reference-exact sourcing: overlaps computed once, later iterations
+    # from FNO1 projection + carry (SRCoreConfig.reoverlap=False)
+    import dataclasses
+    cfg = cfg.replace(sr_core=dataclasses.replace(cfg.sr_core,
+                                                  reoverlap=False))
 t0 = time.time()
 out = sr_assemble(rs, cfg)
 dt = time.time() - t0
