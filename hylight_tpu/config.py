@@ -166,16 +166,17 @@ class SRCoreConfig:
     # reference's default path (program_settings.FNO defaults to 1), so
     # off by default here too.
     fno3: bool = False
-    # Overlap source for iterations AFTER the first: True re-runs the
-    # overlap engine each iteration (recall >= the reference; the round-4
-    # default), False matches the reference exactly — polyte computes
-    # original_overlaps.txt ONCE and every later iteration's overlaps.txt
-    # comes from FindNextOverlaps projection + the nonedge carry
-    # (run_savage_assembly polyte.tune_params.py:629-650 reads
-    # "overlaps.txt", written by the previous VQ run's --FNO pass; no
-    # minimap2/sfo re-run inside the loop). False is ~2-4x faster per
-    # cluster (the re-overlap was ~63% of CPU-mode SR-core wall-clock).
-    reoverlap: bool = True
+    # Overlap source for iterations AFTER the first: False (default)
+    # matches the reference exactly — polyte computes original_overlaps.txt
+    # ONCE and every later iteration's overlaps.txt comes from
+    # FindNextOverlaps projection + the nonedge carry (run_savage_assembly
+    # polyte.tune_params.py:629-650 reads "overlaps.txt", written by the
+    # previous VQ run's --FNO pass; no minimap2/sfo re-run inside the
+    # loop). True re-runs the overlap engine each iteration — strictly
+    # higher recall (more, smaller contigs) at ~1.3-1.7x the wall-clock
+    # (measured: 5,012-read cluster 174 s vs 298 s CPU; 15,012 reads
+    # 257.6 s vs 323 s on chip, N50 1650 vs 1350 at 5k).
+    reoverlap: bool = False
     # diploid genome assembly (polyte --diploid, tune_params.py:371-418):
     # adds a final diploid merge stage with the typical-double-branch rule
     diploid: bool = False
